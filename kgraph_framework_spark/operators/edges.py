@@ -1,0 +1,184 @@
+"""Edge-table derivation from transcripts.
+
+Reference analog: the candidate-edge "initializers" of the kNN engine
+(/root/reference/src/index_random.cpp:16-36, src/index_lsh.cpp:616-697) —
+each is a strategy for producing edges over a vertex set. Here the vertex
+set is transcript turns / conversations / tools / roles, and the three
+derivations come from BASELINE.json north_star: conversation reply chains,
+shared-tool edges, agent-handoff edges.
+
+Output schema everywhere: (src_vertex: bigint, dst_vertex: bigint,
+weight: double, edge_type: string).
+
+Vertex-id scheme — chosen to be collision-free, DENSE-SORT-FREE (no global
+row_number: at 10^12 turns a global sort is a non-starter) and expressible
+in plain arithmetic so the DuckDB correctness oracle derives identical ids:
+
+* turn vertex:  conv_num * 2^20 + turn_idx        (>= 0)
+  conv_num = CAST(substr(conv_id, 5) AS BIGINT) — conv_id is 'conv' +
+  zero-padded digits. 2^20 caps conversations at ~1M turns (input corpora
+  are multi-turn chats; enforced nowhere hot — see validate_turn_bounds).
+* conversation vertex: -(conv_num * 4 + 2)         (< 0, ≡ 2 mod 4)
+* tool vertex:         -(tool_rank * 4 + 3)        (< 0, ≡ 3 mod 4)
+  tool_rank = 1-based rank of the tool name among distinct tools (the tool
+  dictionary is tiny — tens of names — so the rank is computed on a
+  distinct-ed dataframe and broadcast-joined back; no big-table sort).
+* role vertex:         -(role_code * 4 + 1)        (< 0, ≡ 1 mod 4)
+  role_code: fixed map user=1 assistant=2 tool=3 agent:planner=4
+  agent:executor=5 other=6.
+
+Scale notes (100 TB / 10^12 turns):
+* reply_edges is SHUFFLE-FREE: turn_idx is dense within conv, so the
+  predecessor vertex id is (vid - 1) — pure narrow projection + filter,
+  pushed down to the parquet/Iceberg scan.
+* tool_edges / handoff_edges aggregate before joining anything: the
+  groupBy keys are (conv, tool) / (prev_role, role), whose cardinality is
+  orders of magnitude below the turn count (map-side partial aggregation
+  does most of the work). The tool/role dictionaries are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TURN_STRIDE = 1 << 20
+
+ROLE_CODES = {
+    "user": 1,
+    "assistant": 2,
+    "tool": 3,
+    "agent:planner": 4,
+    "agent:executor": 5,
+}
+_OTHER_ROLE_CODE = 6
+
+
+def conv_num_col(conv_id=None):
+    """Numeric conversation id parsed from the 'conv' + digits form."""
+    conv_id = F.col("conv_id") if conv_id is None else conv_id
+    return F.substring(conv_id, 5, 32).cast("long")
+
+
+def turn_vid_col(conv_id=None, turn_idx=None):
+    turn_idx = F.col("turn_idx") if turn_idx is None else turn_idx
+    return conv_num_col(conv_id) * TURN_STRIDE + turn_idx.cast("long")
+
+
+def conv_vid_col(conv_id=None):
+    return -(conv_num_col(conv_id) * 4 + 2)
+
+
+def role_code_col(role=None):
+    role = F.col("role") if role is None else role
+    expr = F.lit(_OTHER_ROLE_CODE)
+    for name, code in reversed(list(ROLE_CODES.items())):
+        expr = F.when(role == name, F.lit(code)).otherwise(expr)
+    return expr.cast("long")
+
+
+def role_vid_col(role=None):
+    return -(role_code_col(role) * 4 + 1)
+
+
+def reply_edges(transcripts: DataFrame) -> DataFrame:
+    """Turn t-1 -> turn t within each conversation. Shuffle-free.
+
+    Relies on the input invariant that turn_idx is dense 0..n-1 within a
+    conversation (input_hint's stable ordering key), so no window/lag is
+    needed: the predecessor's vertex id is simply vid - 1.
+    """
+    vid = turn_vid_col()
+    return (
+        transcripts.where(F.col("turn_idx") > 0)
+        .select(
+            (vid - 1).alias("src_vertex"),
+            vid.alias("dst_vertex"),
+            F.lit(1.0).alias("weight"),
+            F.lit("reply").alias("edge_type"),
+        )
+    )
+
+
+def tool_dictionary(transcripts: DataFrame) -> DataFrame:
+    """(tool, tool_rank) — 1-based rank by name over distinct tools.
+
+    The distinct set is tiny (tool names, not usages); the rank is a window
+    over that small set and the result is broadcast by callers.
+    """
+    distinct = transcripts.where(F.col("tool").isNotNull()).select("tool").distinct()
+    w = Window.orderBy("tool")
+    return distinct.withColumn("tool_rank", F.row_number().over(w).cast("long"))
+
+
+def tool_edges(transcripts: DataFrame) -> DataFrame:
+    """conversation -> tool bipartite edges, weight = usage count.
+
+    Deliberately bipartite rather than conv x conv pairs per tool: hot tools
+    would make the pair count quadratic in tool popularity (a hub tool used
+    by 10^8 conversations => 10^16 pairs). The bipartite form is linear and
+    the graph algorithms see the same connectivity through the tool vertex.
+    """
+    usage = (
+        transcripts.where(F.col("tool").isNotNull())
+        .groupBy(conv_num_col().alias("conv_num"), "tool")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dic = tool_dictionary(transcripts)
+    return (
+        usage.join(F.broadcast(dic), "tool")
+        .select(
+            (-(F.col("conv_num") * 4 + 2)).alias("src_vertex"),
+            (-(F.col("tool_rank") * 4 + 3)).alias("dst_vertex"),
+            F.col("cnt").cast("double").alias("weight"),
+            F.lit("tool").alias("edge_type"),
+        )
+    )
+
+
+def handoff_edges(transcripts: DataFrame) -> DataFrame:
+    """role -> role transition edges aggregated over the corpus.
+
+    One window (lag over conv) + one low-cardinality groupBy. The window
+    shuffle partitions by conv_id — the same partitioning reused by every
+    per-conversation derivation.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = transcripts.select(
+        "conv_id", "turn_idx", "role", F.lag("role").over(w).alias("prev_role")
+    )
+    agg = (
+        seq.where(F.col("prev_role").isNotNull() & (F.col("prev_role") != F.col("role")))
+        .groupBy("prev_role", "role")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return agg.select(
+        (-(role_code_col(F.col("prev_role")) * 4 + 1)).alias("src_vertex"),
+        (-(role_code_col(F.col("role")) * 4 + 1)).alias("dst_vertex"),
+        F.col("cnt").cast("double").alias("weight"),
+        F.lit("handoff").alias("edge_type"),
+    )
+
+
+def union_graph(transcripts: DataFrame) -> DataFrame:
+    """All three derivations unioned into one heterogeneous edge table."""
+    return (
+        reply_edges(transcripts)
+        .unionByName(tool_edges(transcripts))
+        .unionByName(handoff_edges(transcripts))
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Directed -> undirected: add the reverse of every edge.
+
+    Reference analog: reverse-edge construction in NN-descent
+    (/root/reference/src/index_graph.cpp:78-113).
+    """
+    fwd = edges.select("src_vertex", "dst_vertex", "weight")
+    rev = edges.select(
+        F.col("dst_vertex").alias("src_vertex"),
+        F.col("src_vertex").alias("dst_vertex"),
+        "weight",
+    )
+    return fwd.unionByName(rev)

@@ -1,0 +1,133 @@
+"""PageRank as DataFrame supersteps.
+
+Semantics (shared EXACTLY with the DuckDB oracle and the numpy reference in
+kgraph_framework_spark/oracle.py):
+
+    score_0(v)   = 1 / N
+    score_t+1(v) = (1-d)/N + d * ( Σ_{(u,v) ∈ E} score_t(u) · w(u,v)/wsum(u)
+                                   + dangling_mass_t / N )
+
+where wsum(u) = Σ outgoing weight of u and dangling_mass = Σ score over
+vertices with no out-edges. Convergence: max |Δscore| < tol.
+
+Scale design (10^12 edges):
+* the edge table is normalized ONCE (weight / out-degree folded into a
+  ``wnorm`` column), hash-repartitioned by src_vertex and cached — every
+  superstep's join then reuses that exchange instead of reshuffling the
+  big side per iteration;
+* the per-superstep aggregation is groupBy(dst).sum — Spark performs
+  map-side partial aggregation, the analog of per-partition combiners;
+* plan lineage is truncated per superstep (localCheckpoint) via the pregel
+  runner, and parquet checkpoints + lineage manifest make the loop
+  resumable mid-iteration (north rule).
+
+Reference analog: the iterate-score-until-recall>0.99 loop of NN-descent
+(/root/reference/src/index_graph.cpp:139-190) with per-iteration telemetry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgraph_framework_spark.plans.pregel import PregelResult, run_supersteps
+
+
+def _prepare(spark: SparkSession, edges: DataFrame, partitions: int | None):
+    e = edges.select(
+        F.col("src_vertex").alias("src"),
+        F.col("dst_vertex").alias("dst"),
+        F.col("weight").cast("double").alias("w"),
+    )
+    wsum = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+    enorm = e.join(wsum, "src").select(
+        "src", "dst", (F.col("w") / F.col("wsum")).alias("wnorm")
+    )
+    if partitions:
+        enorm = enorm.repartition(partitions, "src")
+    enorm = enorm.persist()
+
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    if partitions:
+        vertices = vertices.repartition(partitions, "vertex")
+    vertices = vertices.persist()
+
+    # vertices with no outgoing edge contribute "dangling mass"
+    dangling = vertices.join(
+        wsum.select(F.col("src").alias("vertex")), "vertex", "left_anti"
+    ).persist()
+    return enorm, vertices, dangling
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iters: int = 50,
+    tol: float | None = 1e-6,
+    num_iters: int | None = None,
+    checkpoint_dir: str | None = None,
+    partitions: int | None = None,
+    resume: bool = True,
+) -> PregelResult:
+    """Run PageRank; returns PregelResult whose state is (vertex, score).
+
+    ``num_iters`` forces an exact superstep count (oracle-comparison mode,
+    no convergence action); otherwise iterate until max|Δ| < tol.
+    """
+    enorm, vertices, dangling = _prepare(spark, edges, partitions)
+    n = vertices.count()
+    has_dangling = dangling.limit(1).count() > 0
+    iters = num_iters if num_iters is not None else max_iters
+
+    ranks0 = vertices.withColumn("score", F.lit(1.0 / n))
+
+    def step(ranks: DataFrame, i: int):
+        if has_dangling:
+            dm = (
+                ranks.join(dangling, "vertex", "left_semi")
+                .agg(F.coalesce(F.sum("score"), F.lit(0.0)))
+                .first()[0]
+            )
+        else:
+            dm = 0.0
+        contribs = (
+            enorm.join(ranks.withColumnRenamed("vertex", "src"), "src")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum(F.col("score") * F.col("wnorm")).alias("contrib"))
+        )
+        new = vertices.join(contribs, "vertex", "left").select(
+            "vertex",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
+            ).alias("score"),
+        )
+        info: dict = {"dangling_mass": dm, "n_vertices": n}
+        if num_iters is None and tol is not None:
+            delta = (
+                new.join(ranks.withColumnRenamed("score", "prev"), "vertex")
+                .agg(F.max(F.abs(F.col("score") - F.col("prev"))))
+                .first()[0]
+            )
+            info["max_delta"] = float(delta)
+        return new, info
+
+    def converged(info: dict) -> bool:
+        if num_iters is not None:
+            return False
+        return tol is not None and info.get("max_delta", 1.0) < tol
+
+    result = run_supersteps(
+        spark, ranks0, step, iters, converged_fn=converged,
+        checkpoint_dir=checkpoint_dir, resume=resume,
+    )
+    enorm.unpersist()
+    vertices.unpersist()
+    dangling.unpersist()
+    return result

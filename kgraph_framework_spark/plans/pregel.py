@@ -1,0 +1,128 @@
+"""Generic superstep runner: iterate → converge-check → checkpoint → resume.
+
+Reference analog: the NN-descent driver loop
+(/root/reference/src/index_graph.cpp:139-190) — per iteration it mutates
+shared state, evaluates a convergence metric, records telemetry, and
+supports save/load between phases (src/index_graph.cpp:401-430). Here the
+state is a DataFrame, the iteration is a caller-supplied step function, and
+resumability is parquet checkpoints + a lineage/metrics sidecar (the north
+rule's "resumable from checkpoint with per-partition lineage + metrics").
+
+Two independent mechanisms, both per-superstep:
+
+* ``localCheckpoint`` ALWAYS — truncates the logical plan so 50 supersteps
+  don't compile a 50-deep join tree (the classic iterative-Spark blowup).
+* parquet checkpoint + metrics row WHEN ``checkpoint_dir`` is given —
+  a killed job restarts from the last completed superstep with identical
+  results (tested in tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SuperstepMetrics:
+    superstep: int
+    seconds: float
+    rows: int
+    converged: bool
+    detail: dict = field(default_factory=dict)
+
+
+@dataclass
+class PregelResult:
+    state: DataFrame
+    supersteps: int
+    converged: bool
+    metrics: list[SuperstepMetrics] = field(default_factory=list)
+
+
+def _ckpt_path(checkpoint_dir: str, step: int) -> str:
+    return os.path.join(checkpoint_dir, f"superstep={step:05d}")
+
+
+def _manifest_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "_manifest.jsonl")
+
+
+def latest_checkpoint(checkpoint_dir: str) -> int | None:
+    """Highest superstep with a committed checkpoint, or None."""
+    path = _manifest_path(checkpoint_dir)
+    if not os.path.exists(path):
+        return None
+    last = None
+    with open(path) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            last = rec["superstep"]
+    return last
+
+
+def run_supersteps(
+    spark: SparkSession,
+    state: DataFrame,
+    step_fn: Callable[[DataFrame, int], tuple[DataFrame, dict]],
+    max_iters: int,
+    converged_fn: Callable[[dict], bool] | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> PregelResult:
+    """Run ``state = step_fn(state, i)`` until convergence or max_iters.
+
+    ``step_fn`` returns (new_state, info). ``info`` feeds ``converged_fn``
+    and is persisted as the superstep's metrics/lineage record. When
+    ``checkpoint_dir`` is set, each completed superstep writes the state as
+    parquet plus a manifest line; on restart with ``resume=True`` the run
+    continues from the last committed superstep.
+    """
+    metrics: list[SuperstepMetrics] = []
+    start_step = 0
+
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        if resume:
+            last = latest_checkpoint(checkpoint_dir)
+            if last is not None:
+                state = spark.read.parquet(_ckpt_path(checkpoint_dir, last))
+                start_step = last + 1
+
+    state = state.localCheckpoint(eager=True)
+    converged = False
+    step = start_step
+    for step in range(start_step, max_iters):
+        t0 = time.monotonic()
+        new_state, info = step_fn(state, step)
+        new_state = new_state.localCheckpoint(eager=True)
+        rows = new_state.count()
+        dt = time.monotonic() - t0
+        converged = bool(converged_fn(info)) if converged_fn else False
+        metrics.append(SuperstepMetrics(step, dt, rows, converged, info))
+
+        if checkpoint_dir:
+            path = _ckpt_path(checkpoint_dir, step)
+            new_state.write.mode("overwrite").parquet(path)
+            lineage = {
+                "superstep": step,
+                "rows": rows,
+                "seconds": dt,
+                "converged": converged,
+                "n_partitions": new_state.rdd.getNumPartitions(),
+                **{k: v for k, v in info.items() if isinstance(v, (int, float, str, bool))},
+            }
+            with open(_manifest_path(checkpoint_dir), "a") as fh:
+                fh.write(json.dumps(lineage) + "\n")
+
+        state = new_state
+        if converged:
+            break
+
+    return PregelResult(state=state, supersteps=step + 1 if max_iters else 0,
+                        converged=converged, metrics=metrics)
