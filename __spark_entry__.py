@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship north-rule pipeline (transcripts -> edge
+table -> PageRank to convergence) at sf0.001. ``queries``/``oracle_sql``
+expose the engine's query surface with DuckDB oracle twins (see
+kgraph_framework_spark/queries.py and sql_oracle.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kgraph_framework_spark import queries as _q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: converged PageRank over the transcript-derived
+    union graph at sf0.001; returns (vertex, score)."""
+    from pyspark.sql import functions as F
+
+    from kgraph_framework_spark.operators.edges import union_graph
+    from kgraph_framework_spark.plans.pagerank import pagerank
+    from kgraph_framework_spark.session import tune_session
+    from kgraph_framework_spark.sources.transcripts import transcripts_from_events
+
+    tune_session(spark)
+    t = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    res = pagerank(spark, union_graph(t), tol=1e-6, max_iters=50)
+    return res.state.select("vertex", F.col("score").cast("double").alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _q.REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _q.REGISTRY.items() if sql is not None
+    }

@@ -169,6 +169,34 @@ def union_graph(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def tool_cousage_edges(transcripts: DataFrame) -> DataFrame:
+    """tool-tool co-usage graph: edge (u < v) weighted by the number of
+    conversations that used both tools.
+
+    Vertex ids are the raw tool ranks (the tool dictionary is tiny). The
+    per-conversation self-join is bounded by tools-per-conversation (≤ the
+    dictionary size), so the pair count is linear in conversations — the
+    quadratic-in-popularity blowup warned about in :func:`tool_edges` does
+    not apply because the join key is the conversation, not the tool.
+    """
+    dic = tool_dictionary(transcripts)
+    usage = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select(conv_num_col().alias("conv_num"), "tool")
+        .distinct()
+        .join(F.broadcast(dic), "tool")
+        .select("conv_num", "tool_rank")
+    )
+    a = usage.select("conv_num", F.col("tool_rank").alias("u"))
+    b = usage.select("conv_num", F.col("tool_rank").alias("v"))
+    return (
+        a.join(b, "conv_num")
+        .where(F.col("u") < F.col("v"))
+        .groupBy(F.col("u").alias("src_vertex"), F.col("v").alias("dst_vertex"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Directed -> undirected: add the reverse of every edge.
 

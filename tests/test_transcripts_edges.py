@@ -105,15 +105,15 @@ class TestEdges:
     def test_tool_edges_bipartite(self, synth):
         e = tool_edges(synth).persist()
         rows = e.collect()
-        assert all(r["src_vertex"] < 0 and r["src_vertex"] % 4 == -2 for r in rows)
-        assert all(r["dst_vertex"] < 0 and r["dst_vertex"] % 4 == -3 for r in rows)
+        assert all(r["src_vertex"] < 0 and (-r["src_vertex"]) % 4 == 2 for r in rows)
+        assert all(r["dst_vertex"] < 0 and (-r["dst_vertex"]) % 4 == 3 for r in rows)
         total_uses = synth.where(F.col("tool").isNotNull()).count()
         assert sum(r["weight"] for r in rows) == total_uses
 
     def test_handoff_edges(self, synth):
         rows = handoff_edges(synth).collect()
         assert all(r["src_vertex"] != r["dst_vertex"] for r in rows)
-        assert all(r["src_vertex"] % 4 == -1 for r in rows)
+        assert all((-r["src_vertex"]) % 4 == 1 for r in rows)
         assert len(rows) > 0
 
     def test_union_graph_types(self, synth):
