@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric (BASELINE.json): edges/sec per PageRank superstep on the
+transcript-derived union graph, plus supersteps-to-convergence wall time.
+The `queries` dict carries per-query seconds; extra keys report the
+throughput figures the baseline tracks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kgraph_framework_spark.operators.edges import tool_cousage_edges, union_graph
+from kgraph_framework_spark.plans.components import connected_components
+from kgraph_framework_spark.plans.labelprop import label_propagation
+from kgraph_framework_spark.plans.pagerank import pagerank
+from kgraph_framework_spark.plans.triangles import count_triangles
+from kgraph_framework_spark.queries import q_degrees
+from kgraph_framework_spark.session import get_spark
+from kgraph_framework_spark.sources.transcripts import transcripts_from_events
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("kgraph-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float | int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        queries[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    t = transcripts_from_events(spark, sf_dir)
+    edges = union_graph(t)
+    n_edges = timed("edge_derivation", lambda: edges.persist().count())
+    extra["n_edges"] = int(n_edges)
+
+    pr = timed(
+        "pagerank_converged",
+        lambda: pagerank(spark, edges, tol=1e-6, max_iters=40),
+    )
+    extra["pagerank_supersteps"] = pr.supersteps
+    extra["pagerank_converged"] = bool(pr.converged)
+    step_secs = [mt.seconds for mt in pr.metrics]
+    if step_secs:
+        per_step = sum(step_secs) / len(step_secs)
+        extra["pagerank_sec_per_superstep"] = round(per_step, 3)
+        extra["pagerank_edges_per_sec_per_superstep"] = round(n_edges / per_step)
+
+    cc = timed(
+        "components_converged",
+        lambda: connected_components(spark, edges, max_iters=60),
+    )
+    extra["cc_supersteps"] = cc.supersteps
+
+    timed("labelprop_5round", lambda: label_propagation(spark, edges, num_iters=5))
+    timed("triangles_tools", lambda: count_triangles(tool_cousage_edges(t)))
+    timed("degrees", lambda: q_degrees(spark, sf_dir).count())
+
+    edges.unpersist()
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        **extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

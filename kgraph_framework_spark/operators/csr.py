@@ -1,0 +1,232 @@
+"""Per-partition CSR adjacency blocks (Arrow arrays) + gather-scatter.
+
+The north-star layout: the edge table is hash-partitioned by ``src`` and
+each partition is packed into ONE row of compressed-sparse-row arrays
+
+    csr(part_id: int,
+        src_ids:  array<long>   -- unique sorted source vertices
+        indptr:   array<int>    -- len(src_ids)+1 offsets into dst/wnorm
+        dst_ids:  array<long>   -- neighbor ids, grouped by src
+        wnorm:    array<double>)-- out-weight-normalized edge weights
+
+— the Spark analog of the reference's ``CompactGraph``
+(vector<vector<unsigned>>, /root/reference/include/index/index.h:16,64;
+on-disk rows [K, ids...] /root/reference/src/index_graph.cpp:401-410).
+Built once with ``groupBy(part_id).applyInPandas`` (numpy packing, no
+per-row Python) and persisted/written to parquet; every PageRank
+superstep is then a cogrouped gather-scatter:
+
+    scores partitioned by the same part fn  ->  cogroup(csr, scores)
+      -> per-block numpy gather (scores of src_ids), scatter
+         (np.add.at over dst codes), PRE-AGGREGATED per block
+      -> one shuffle of (dst, partial) rows, groupBy(dst).sum
+
+The per-block pre-aggregation is the map-side combiner: a block emits
+each distinct dst ONCE, so the superstep shuffle volume is bounded by
+(distinct dsts per block), not the edge count — at 10^12 edges with hub
+vertices this is the difference between shuffling edges and shuffling
+vertices (plus the hub rows are split across blocks = structural
+salting; the final groupBy(dst).sum merges the salted partials).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CSR_SCHEMA = (
+    "part_id int, src_ids array<long>, indptr array<int>, "
+    "dst_ids array<long>, wnorm array<double>"
+)
+
+
+def part_col(col, n_parts: int):
+    """Partition assignment — pmod so Python ``%`` agrees on negatives."""
+    return F.pmod(col, F.lit(n_parts)).cast("int")
+
+
+def build_csr_blocks(edges: DataFrame, n_parts: int) -> DataFrame:
+    """Pack the (src,dst,weight) edge table into per-partition CSR rows.
+
+    Weights arrive raw; the packer folds in the 1/out-weight-sum
+    normalization PageRank needs (FastL2-style precompute — do the
+    division once at build, not per superstep). Out-weight sums are
+    computed globally first because a vertex's out-edges land in one
+    partition (partitioning is BY src), so the groupBy is co-partitioned.
+    """
+    e = edges.select(
+        F.col("src_vertex").alias("src"),
+        F.col("dst_vertex").alias("dst"),
+        F.col("weight").cast("double").alias("w"),
+    )
+    wsum = e.groupBy("src").agg(F.sum("w").alias("ws"))
+    en = e.join(wsum, "src").select(
+        "src", "dst", (F.col("w") / F.col("ws")).alias("wn")
+    )
+    en = en.withColumn("part_id", part_col(F.col("src"), n_parts))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        src = pdf["src"].to_numpy(np.int64)
+        uniq, starts = np.unique(src, return_index=True)
+        indptr = np.append(starts, len(src)).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].iloc[0])],
+                "src_ids": [uniq],
+                "indptr": [indptr],
+                "dst_ids": [pdf["dst"].to_numpy(np.int64)],
+                "wnorm": [pdf["wn"].to_numpy(np.float64)],
+            }
+        )
+
+    return (
+        en.repartition(n_parts, "part_id")
+        .groupBy("part_id")
+        .applyInPandas(pack, schema=CSR_SCHEMA)
+    )
+
+
+def csr_roundtrip_edges(csr: DataFrame) -> DataFrame:
+    """Unpack CSR blocks back to (src, dst, wnorm) — for roundtrip tests."""
+
+    def unpack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                src_ids = np.asarray(row["src_ids"], dtype=np.int64)
+                indptr = np.asarray(row["indptr"], dtype=np.int64)
+                counts = np.diff(indptr)
+                yield pd.DataFrame(
+                    {
+                        "src": np.repeat(src_ids, counts),
+                        "dst": np.asarray(row["dst_ids"], dtype=np.int64),
+                        "wnorm": np.asarray(row["wnorm"], dtype=np.float64),
+                    }
+                )
+
+    return csr.mapInPandas(unpack, schema="src long, dst long, wnorm double")
+
+
+def pagerank_csr(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iters: int = 50,
+    tol: float | None = 1e-6,
+    num_iters: int | None = None,
+    n_parts: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+):
+    """PageRank over CSR blocks — same semantics as plans/pagerank.py
+    (same update rule, init, dangling handling; scores allclose 1e-12,
+    differing only by float summation order), with the per-superstep
+    scatter running inside Arrow-batched numpy instead of a row join.
+    """
+    from kgraph_framework_spark.plans.pregel import PregelResult, run_supersteps
+
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    csr = build_csr_blocks(edges, n_parts).persist()
+
+    e = edges.select(
+        F.col("src_vertex").alias("src"), F.col("dst_vertex").alias("dst")
+    )
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .repartition(n_parts, "vertex")
+        .persist()
+    )
+    n = vertices.count()
+    srcs = e.select(F.col("src").alias("vertex")).distinct()
+    dangling = vertices.join(srcs, "vertex", "left_anti").persist()
+    has_dangling = dangling.limit(1).count() > 0
+    iters = num_iters if num_iters is not None else max_iters
+    check = num_iters is None and tol is not None
+
+    ranks0 = vertices.withColumn("score", F.lit(1.0 / n))
+
+    def scatter(key, blocks: pd.DataFrame, scores: pd.DataFrame) -> pd.DataFrame:
+        """Per-partition gather-scatter with block-local pre-aggregation."""
+        if blocks.empty or scores.empty:
+            return pd.DataFrame({"vertex": [], "partial": []}).astype(
+                {"vertex": "int64", "partial": "float64"}
+            )
+        smap = pd.Series(
+            scores["score"].to_numpy(np.float64),
+            index=scores["vertex"].to_numpy(np.int64),
+        )
+        outs = []
+        for _, row in blocks.iterrows():
+            src_ids = np.asarray(row["src_ids"], dtype=np.int64)
+            indptr = np.asarray(row["indptr"], dtype=np.int64)
+            dst = np.asarray(row["dst_ids"], dtype=np.int64)
+            wn = np.asarray(row["wnorm"], dtype=np.float64)
+            s = smap.reindex(src_ids).to_numpy(np.float64)
+            contrib = np.repeat(s, np.diff(indptr)) * wn
+            du, codes = np.unique(dst, return_inverse=True)
+            partial = np.zeros(len(du))
+            np.add.at(partial, codes, contrib)
+            outs.append(pd.DataFrame({"vertex": du, "partial": partial}))
+        return pd.concat(outs, ignore_index=True)
+
+    def step(ranks: DataFrame, i: int):
+        rp = ranks.select(
+            "vertex", "score", part_col(F.col("vertex"), n_parts).alias("part_id")
+        )
+        partials = (
+            csr.groupBy("part_id")
+            .cogroup(rp.groupBy("part_id"))
+            .applyInPandas(scatter, schema="vertex long, partial double")
+        )
+        contribs = partials.groupBy("vertex").agg(
+            F.sum("partial").alias("contrib")
+        )
+        new = vertices.join(contribs, "vertex", "left")
+        if has_dangling:
+            dm_df = (
+                ranks.join(dangling, "vertex", "left_semi")
+                .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("_dm"))
+            )
+            new = new.crossJoin(dm_df)
+        else:
+            new = new.withColumn("_dm", F.lit(0.0))
+        new = new.join(ranks.select("vertex", F.col("score").alias("prev")), "vertex")
+        new = new.select(
+            "vertex",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / n)
+            ).alias("score"),
+            "prev",
+        )
+        return new, {"n_vertices": n}
+
+    def post(state: DataFrame, info: dict) -> dict:
+        if check:
+            delta = state.agg(F.max(F.abs(F.col("score") - F.col("prev")))).first()[0]
+            info["max_delta"] = float(delta)
+        return info
+
+    def converged(info: dict) -> bool:
+        if num_iters is not None:
+            return False
+        return tol is not None and info.get("max_delta", 1.0) < tol
+
+    result = run_supersteps(
+        spark, ranks0, step, iters, converged_fn=converged,
+        checkpoint_dir=checkpoint_dir, resume=resume,
+        post_fn=post if check else None,
+    )
+    result.state = result.state.select("vertex", "score")
+    csr.unpersist()
+    vertices.unpersist()
+    dangling.unpersist()
+    return result

@@ -1,0 +1,82 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as ``binary`` columns with a typed
+metadata struct, processed by Arrow-batched ``mapInPandas`` — the schema,
+partitioning, UDF signature, and batch shape are real and tested; the
+actual media DECODE step is stubbed (the decode libraries are not in this
+environment) behind :func:`_decode_stub`, which raises
+``NotImplementedError`` when a real codec is requested and otherwise
+produces deterministic byte-level features that the DuckDB oracle can
+recompute from the source text.
+
+At scale: payloads ride in parquet binary columns; ``mapInPandas``
+streams Arrow record batches (bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``), so executor memory is
+batch-bounded regardless of corpus size, and the extraction is a narrow
+map — no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, head_md5 string, byte_sum_16 long, decoder string"
+)
+
+
+def binary_corpus(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload: binary, media_type, n_bytes).
+
+    Uses the UTF-8 encoding of ``text`` as a stand-in payload; a real
+    deployment reads the binary column straight from parquet.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in for a media decoder.
+
+    A real build would dispatch on media_type to PIL/librosa/pyav; those
+    libraries are unavailable here, so any real media type raises and the
+    octet-stream path computes byte-level features.
+    """
+    if media_type not in ("application/octet-stream",):
+        raise NotImplementedError(
+            f"media decode for {media_type!r} requires codec libraries "
+            "not present in this environment"
+        )
+    import hashlib
+
+    head = payload[:16]
+    return {
+        "n_bytes": len(payload),
+        "head_md5": hashlib.md5(head).hexdigest(),
+        "byte_sum_16": int(sum(head)),
+        "decoder": "stub-v1",
+    }
+
+
+def extract_features(binaries: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _decode_stub(p, m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return binaries.mapInPandas(batches, schema=FEATURE_SCHEMA)

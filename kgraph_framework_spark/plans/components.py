@@ -33,11 +33,21 @@ def connected_components(
     checkpoint_dir: str | None = None,
     partitions: int | None = None,
     resume: bool = True,
+    accelerate: bool | None = None,
 ) -> PregelResult:
     """Hash-min CC; result state is (vertex, label), label = min vertex id.
 
     ``num_iters`` runs exactly that many synchronous rounds without the
-    convergence action (oracle-comparison mode).
+    convergence action (oracle-comparison mode, plain hash-min so the
+    unrolled SQL twin matches round for round).
+
+    ``accelerate`` (default: on unless ``num_iters`` is set) adds a
+    pointer-jumping shortcut after each exchange — label(v) <-
+    label(label(v)) — so convergence is O(log diameter) rounds instead of
+    O(diameter). Transcript reply chains are long paths (a 300-turn
+    conversation is a 300-vertex path), which plain hash-min walks one
+    hop per round; with the shortcut the label graph halves each round.
+    The converged fixpoint is identical either way (min reachable id).
     """
     e = edges.select(
         F.col("src_vertex").alias("src"), F.col("dst_vertex").alias("dst")
@@ -60,30 +70,43 @@ def connected_components(
     labels0 = vertices.withColumn("label", F.col("vertex"))
     iters = num_iters if num_iters is not None else max_iters
     check = num_iters is None
+    if accelerate is None:
+        accelerate = num_iters is None
 
     def step(labels: DataFrame, i: int):
         nbr_min = (
-            e.join(labels.withColumnRenamed("vertex", "src"), "src")
+            e.join(labels.select(F.col("vertex").alias("src"), "label"), "src")
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new = labels.join(nbr_min, "vertex", "left").select(
+        new = labels.select("vertex", "label").join(nbr_min, "vertex", "left").select(
             "vertex",
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
         )
-        info: dict = {}
-        if check:
-            changed = (
-                new.join(
-                    labels.withColumnRenamed("label", "prev"), "vertex"
-                )
-                .where(F.col("label") != F.col("prev"))
-                .count()
+        if accelerate:
+            # pointer jumping: follow the label one hop in label space.
+            # labels are always ids of live vertices, so the self-join is
+            # total; distances in label space halve every application.
+            hop = new.select(
+                F.col("vertex").alias("label"), F.col("label").alias("label2")
             )
-            info["changed"] = int(changed)
-        return new, info
+            new = new.join(hop, "label", "left").select(
+                "vertex",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
+                ).alias("label"),
+            )
+        new = new.join(
+            labels.select("vertex", F.col("label").alias("prev")), "vertex"
+        )
+        return new, {}
+
+    def post(state: DataFrame, info: dict) -> dict:
+        changed = state.where(F.col("label") != F.col("prev")).count()
+        info["changed"] = int(changed)
+        return info
 
     result = run_supersteps(
         spark,
@@ -93,7 +116,9 @@ def connected_components(
         converged_fn=(lambda info: info.get("changed", 1) == 0) if check else None,
         checkpoint_dir=checkpoint_dir,
         resume=resume,
+        post_fn=post if check else None,
     )
+    result.state = result.state.select("vertex", "label")
     e.unpersist()
     vertices.unpersist()
     return result

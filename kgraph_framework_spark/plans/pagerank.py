@@ -83,40 +83,50 @@ def pagerank(
     n = vertices.count()
     has_dangling = dangling.limit(1).count() > 0
     iters = num_iters if num_iters is not None else max_iters
+    check = num_iters is None and tol is not None
 
     ranks0 = vertices.withColumn("score", F.lit(1.0 / n))
 
     def step(ranks: DataFrame, i: int):
-        if has_dangling:
-            dm = (
-                ranks.join(dangling, "vertex", "left_semi")
-                .agg(F.coalesce(F.sum("score"), F.lit(0.0)))
-                .first()[0]
-            )
-        else:
-            dm = 0.0
+        """One superstep, fully lazy (no driver actions).
+
+        The dangling mass is folded into the plan as a 1-row aggregate
+        cross-joined in (Spark broadcasts it), and the previous score is
+        carried as a ``prev`` column so the convergence delta is a narrow
+        aggregate over the materialized state in ``post`` — together this
+        keeps the runner at ONE job per superstep instead of three.
+        """
         contribs = (
-            enorm.join(ranks.withColumnRenamed("vertex", "src"), "src")
+            enorm.join(ranks.select(F.col("vertex").alias("src"), "score"), "src")
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum(F.col("score") * F.col("wnorm")).alias("contrib"))
         )
-        new = vertices.join(contribs, "vertex", "left").select(
+        new = vertices.join(contribs, "vertex", "left")
+        if has_dangling:
+            dm_df = (
+                ranks.join(dangling, "vertex", "left_semi")
+                .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("_dm"))
+            )
+            new = new.crossJoin(dm_df)
+        else:
+            new = new.withColumn("_dm", F.lit(0.0))
+        new = new.join(ranks.select("vertex", F.col("score").alias("prev")), "vertex")
+        new = new.select(
             "vertex",
             (
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / n)
             ).alias("score"),
+            "prev",
         )
-        info: dict = {"dangling_mass": dm, "n_vertices": n}
-        if num_iters is None and tol is not None:
-            delta = (
-                new.join(ranks.withColumnRenamed("score", "prev"), "vertex")
-                .agg(F.max(F.abs(F.col("score") - F.col("prev"))))
-                .first()[0]
-            )
+        return new, {"n_vertices": n}
+
+    def post(state: DataFrame, info: dict) -> dict:
+        if check:
+            delta = state.agg(F.max(F.abs(F.col("score") - F.col("prev")))).first()[0]
             info["max_delta"] = float(delta)
-        return new, info
+        return info
 
     def converged(info: dict) -> bool:
         if num_iters is not None:
@@ -126,7 +136,9 @@ def pagerank(
     result = run_supersteps(
         spark, ranks0, step, iters, converged_fn=converged,
         checkpoint_dir=checkpoint_dir, resume=resume,
+        post_fn=post if check else None,
     )
+    result.state = result.state.select("vertex", "score")
     enorm.unpersist()
     vertices.unpersist()
     dangling.unpersist()

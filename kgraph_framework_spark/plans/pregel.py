@@ -45,6 +45,36 @@ class PregelResult:
     metrics: list[SuperstepMetrics] = field(default_factory=list)
 
 
+def truncate_state(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Materialize + cut lineage + RESET inherited size statistics.
+
+    ``localCheckpoint`` truncates the RDD lineage but the resulting
+    LogicalRDD *keeps the pre-checkpoint plan's size-in-bytes estimate*.
+    A superstep that references the state more than once (convergence
+    prev-column join, dangling-mass cross join, pointer-jump self-join)
+    then SQUARES that estimate every iteration — by superstep ~40 the
+    BigInt sizeInBytes has thousands of digits and Catalyst's stats
+    visitor burns minutes per plan in Toom-Cook multiplication (observed
+    live via jstack). Rebuilding the Dataset over the checkpointed
+    InternalRow RDD resets the estimate to the session default and pins
+    planning cost constant across supersteps.
+    """
+    ckpt = df.localCheckpoint(eager=True)
+    try:
+        jdf = ckpt._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        return _CDF(new_jdf, spark)
+    except Exception:
+        # internal API unavailable (e.g. connect client) — the checkpoint
+        # alone is still correct, just slower on long convergence runs.
+        return ckpt
+
+
 def _ckpt_path(checkpoint_dir: str, step: int) -> str:
     return os.path.join(checkpoint_dir, f"superstep={step:05d}")
 
@@ -74,11 +104,18 @@ def run_supersteps(
     converged_fn: Callable[[dict], bool] | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    post_fn: Callable[[DataFrame, dict], dict] | None = None,
 ) -> PregelResult:
     """Run ``state = step_fn(state, i)`` until convergence or max_iters.
 
-    ``step_fn`` returns (new_state, info). ``info`` feeds ``converged_fn``
-    and is persisted as the superstep's metrics/lineage record. When
+    ``step_fn`` returns (new_state, info) and must NOT trigger actions —
+    the runner materializes the state with a single job per superstep
+    (non-eager localCheckpoint + count). ``post_fn`` (optional) runs AFTER
+    materialization over the cached state to finalize ``info`` with cheap
+    aggregates (convergence deltas etc. — the idiom is to carry the
+    previous value as an extra column so the delta is a narrow agg over
+    cached partitions, not a re-join). ``info`` feeds ``converged_fn`` and
+    is persisted as the superstep's metrics/lineage record. When
     ``checkpoint_dir`` is set, each completed superstep writes the state as
     parquet plus a manifest line; on restart with ``resume=True`` the run
     continues from the last committed superstep.
@@ -94,14 +131,16 @@ def run_supersteps(
                 state = spark.read.parquet(_ckpt_path(checkpoint_dir, last))
                 start_step = last + 1
 
-    state = state.localCheckpoint(eager=True)
+    state = truncate_state(spark, state)
     converged = False
     step = start_step
     for step in range(start_step, max_iters):
         t0 = time.monotonic()
         new_state, info = step_fn(state, step)
-        new_state = new_state.localCheckpoint(eager=True)
-        rows = new_state.count()
+        new_state = truncate_state(spark, new_state)
+        rows = new_state.count()  # cheap: counts the cached partitions
+        if post_fn is not None:
+            info = post_fn(new_state, info)
         dt = time.monotonic() - t0
         converged = bool(converged_fn(info)) if converged_fn else False
         metrics.append(SuperstepMetrics(step, dt, rows, converged, info))

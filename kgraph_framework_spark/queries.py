@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgraph_framework_spark import sql_oracle
+from kgraph_framework_spark import sql_oracle, sql_oracle_docs
 from kgraph_framework_spark.operators.edges import (
     handoff_edges,
     reply_edges,
@@ -136,6 +136,105 @@ def q_triangles(spark, sf_dir):
     )
 
 
+# --- training-data pipeline queries over documents / embeddings ---
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_token_stats(spark, sf_dir):
+    from kgraph_framework_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    from kgraph_framework_spark.operators.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_langid(spark, sf_dir):
+    from kgraph_framework_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    from kgraph_framework_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from kgraph_framework_spark.operators.dedup import dup_corpus, exact_duplicates
+
+    return exact_duplicates(dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from kgraph_framework_spark.operators.dedup import dup_corpus, ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from kgraph_framework_spark.operators.dedup import dup_corpus, minhash_lsh_pairs
+
+    return minhash_lsh_pairs(dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from kgraph_framework_spark.operators.dedup import dup_corpus, simhash_pairs
+
+    return simhash_pairs(dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_knn_cosine(spark, sf_dir):
+    from kgraph_framework_spark.operators.similarity import (
+        cosine_topk,
+        queries_from_corpus,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, queries_from_corpus(emb))
+
+
+def q_knn_ann(spark, sf_dir):
+    from kgraph_framework_spark.operators.similarity import (
+        ann_lsh_topk,
+        queries_from_corpus,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return ann_lsh_topk(emb, queries_from_corpus(emb))
+
+
+def q_knn_ivf(spark, sf_dir):
+    from kgraph_framework_spark.operators.similarity import (
+        ivf_topk,
+        queries_from_corpus,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb, queries_from_corpus(emb))
+
+
+def q_multimodal(spark, sf_dir):
+    from kgraph_framework_spark.operators.multimodal import (
+        binary_corpus,
+        extract_features,
+    )
+
+    return extract_features(binary_corpus(_docs(spark, sf_dir)))
+
+
 #: name -> (spark callable, duckdb oracle SQL or None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "transcripts": (q_transcripts, sql_oracle.transcripts_sql()),
@@ -149,4 +248,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "labelprop_2round": (q_labelprop, sql_oracle.labelprop_sql(LP_ROUNDS)),
     "tool_cousage": (q_tool_cousage, sql_oracle.tool_cousage_sql()),
     "triangles_tools": (q_triangles, sql_oracle.triangles_sql()),
+    "token_stats": (q_token_stats, sql_oracle_docs.token_stats_sql()),
+    "quality_scores": (q_quality, sql_oracle_docs.quality_scores_sql()),
+    "language_id": (q_langid, sql_oracle_docs.language_id_sql()),
+    "fingerprints": (q_fingerprints, sql_oracle_docs.fingerprints_sql()),
+    "dedup_exact": (q_dedup_exact, sql_oracle_docs.exact_dedup_sql()),
+    "dedup_ngram_jaccard": (q_dedup_jaccard, sql_oracle_docs.ngram_jaccard_sql()),
+    "dedup_minhash_lsh": (q_dedup_minhash, sql_oracle_docs.minhash_lsh_sql()),
+    "dedup_simhash": (q_dedup_simhash, sql_oracle_docs.simhash_sql()),
+    "knn_cosine_bruteforce": (q_knn_cosine, sql_oracle_docs.knn_cosine_sql()),
+    "knn_ann_lsh": (q_knn_ann, None),  # approximate by design: rows-only
+    "knn_ann_ivf": (q_knn_ivf, None),  # approximate by design: rows-only
+    "multimodal_features": (q_multimodal, sql_oracle_docs.multimodal_features_sql()),
 }

@@ -1,0 +1,217 @@
+"""Training-data pipeline operators: dedup family, similarity, multimodal.
+
+The value-level parity with DuckDB is covered by the driver gate (and
+tools/check_correctness.py); these tests cover the SEMANTIC properties the
+SQL twin can't express: dedup recall of the synthesized duplicates, ANN
+recall vs the exact oracle, stub behavior of the multimodal decode.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_TINY}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, docs):
+    from kgraph_framework_spark.operators.dedup import dup_corpus
+
+    return dup_corpus(docs).persist()
+
+
+class TestDedup:
+    def test_exact_finds_all_synthesized_copies(self, docs, corpus):
+        from kgraph_framework_spark.operators.dedup import (
+            EXACT_DUP_MOD,
+            exact_duplicates,
+        )
+
+        expected = docs.where(
+            (F.col("doc_id") % EXACT_DUP_MOD == 0)
+        ).count()
+        groups = exact_duplicates(corpus).collect()
+        # every synthesized copy produces one duplicate group of size 2
+        # keyed by the original text (originals are unique in the corpus)
+        assert len(groups) == expected
+        assert all(g["n_copies"] == 2 for g in groups)
+        assert all(g["keep_id"] < 100_000 for g in groups)
+
+    def test_jaccard_finds_near_dups_with_high_sim(self, corpus):
+        from kgraph_framework_spark.operators.dedup import (
+            NEAR_DUP_MOD,
+            ngram_jaccard_pairs,
+        )
+
+        pairs = {
+            (p["doc_a"], p["doc_b"]): p["jaccard_ppm"]
+            for p in ngram_jaccard_pairs(corpus).collect()
+        }
+        # every mutated doc long enough to clear the threshold
+        # (J = (g-8)/g >= 0.5 needs g >= 16 grams, i.e. >= 18 tokens)
+        # must pair with its own original. The driver corpus also contains
+        # GENUINE near-dups (e.g. docs 174~99 at sf0.001) which rightly
+        # appear too, so containment, not equality.
+        expected = {
+            r["doc_id"]
+            for r in corpus.where(
+                (F.col("doc_id") % NEAR_DUP_MOD == 0)
+                & (F.col("doc_id") < 100_000)
+                & (F.array_size(F.split(F.col("text"), " ")) >= 18)
+            ).collect()
+        }
+        assert expected, "fixture too small: no eligible near-dup originals"
+        for a in expected:
+            assert pairs[(a, a + 200_000)] >= 500_000
+
+    def test_minhash_estimates_track_exact_jaccard(self, corpus):
+        from kgraph_framework_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        exact = {
+            (p["doc_a"], p["doc_b"]): p["jaccard_ppm"] / 1e6
+            for p in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+        }
+        est = {
+            (p["doc_a"], p["doc_b"]): p["est_ppm"] / 1e6
+            for p in minhash_lsh_pairs(corpus, threshold=0.5).collect()
+        }
+        # LSH recall of true high-sim pairs (J >= 0.8 is ~always caught
+        # by 8 bands of 4 at sig threshold 0.5)
+        high = {k for k, v in exact.items() if v >= 0.8}
+        found = high & set(est)
+        assert len(found) >= 0.9 * len(high)
+        # estimates within 0.25 of exact for found pairs
+        for k in found:
+            assert abs(est[k] - exact[k]) < 0.25
+
+    def test_simhash_block_join_equals_bruteforce(self, spark, corpus):
+        from kgraph_framework_spark.operators.dedup import (
+            SIMHASH_MAX_HAMMING,
+            simhash_pairs,
+            simhash_signatures,
+        )
+
+        got = {
+            (p["doc_a"], p["doc_b"]): p["hamming"]
+            for p in simhash_pairs(corpus).collect()
+        }
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus).collect()}
+        ids = sorted(sigs)
+        exp = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= SIMHASH_MAX_HAMMING:
+                    exp[(a, b)] = h
+        assert got == exp
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF_TINY}/embeddings.parquet").persist()
+
+    def test_bruteforce_matches_numpy(self, emb):
+        import numpy as np
+
+        from kgraph_framework_spark.operators.similarity import (
+            cosine_topk,
+            queries_from_corpus,
+        )
+
+        rows = emb.collect()
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+        got = cosine_topk(emb, queries_from_corpus(emb, 4), k=3).collect()
+        for q in range(4):
+            sims = {
+                v: float(vecs[q] @ vv / (np.linalg.norm(vecs[q]) * np.linalg.norm(vv)))
+                for v, vv in vecs.items()
+                if v != q
+            }
+            exp = sorted(sims, key=lambda v: (-sims[v], v))[:3]
+            mine = [r["neighbor_id"] for r in sorted(
+                (r for r in got if r["query_id"] == q), key=lambda r: r["rank"]
+            )]
+            assert mine == exp
+
+    def test_ann_recall_floor(self, emb):
+        from kgraph_framework_spark.operators.similarity import (
+            ann_lsh_topk,
+            cosine_topk,
+            queries_from_corpus,
+        )
+
+        q = queries_from_corpus(emb, 8)
+        exact = cosine_topk(emb, q, k=5).collect()
+        approx = ann_lsh_topk(emb, q, k=5).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(
+            len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+        )
+        total = sum(len(s) for s in exact_sets.values())
+        recall = hits / total
+        # random hyperplanes probe (1+bits)/2^bits of the space — a
+        # coverage-bound floor, deterministic given the fixed seed
+        assert recall >= 0.35, f"LSH ANN recall {recall:.2f} below floor"
+
+    def test_ivf_recall_floor(self, emb):
+        from kgraph_framework_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+            queries_from_corpus,
+        )
+
+        q = queries_from_corpus(emb, 8)
+        exact = cosine_topk(emb, q, k=5).collect()
+        approx = ivf_topk(emb, q, k=5).collect()
+        exact_sets: dict = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        approx_sets: dict = {}
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(
+            len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+        )
+        recall = hits / sum(len(s) for s in exact_sets.values())
+        # centroids align with the label clusters -> much better than LSH
+        assert recall >= 0.6, f"IVF ANN recall {recall:.2f} below floor"
+
+
+class TestMultimodal:
+    def test_features_match_python(self, spark, docs):
+        import hashlib
+
+        from kgraph_framework_spark.operators.multimodal import (
+            binary_corpus,
+            extract_features,
+        )
+
+        feats = {r["doc_id"]: r for r in extract_features(binary_corpus(docs)).collect()}
+        for r in docs.select("doc_id", "text").limit(20).collect():
+            payload = r["text"].encode("utf-8")
+            f = feats[r["doc_id"]]
+            assert f["n_bytes"] == len(payload)
+            assert f["head_md5"] == hashlib.md5(payload[:16]).hexdigest()
+            assert f["byte_sum_16"] == sum(payload[:16])
+            assert f["decoder"] == "stub-v1"
+
+    def test_real_media_type_raises(self):
+        from kgraph_framework_spark.operators.multimodal import _decode_stub
+
+        with pytest.raises(NotImplementedError):
+            _decode_stub(b"\x89PNG", "image/png")
