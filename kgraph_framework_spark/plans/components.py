@@ -57,14 +57,18 @@ def connected_components(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.distinct()
-    if partitions:
-        e = e.repartition(partitions, "src")
-    e = e.persist()
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # pre-partition + pre-sort the edge side once; every superstep's SMJ
+    # then reuses the layout (same rationale as plans/pagerank.py)
+    e = e.repartition(partitions, "src").sortWithinPartitions("src").persist()
 
     vertices = (
         e.select(F.col("src").alias("vertex"))
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
+        .repartition(partitions, "vertex")
+        .sortWithinPartitions("vertex")
         .persist()
     )
     labels0 = vertices.withColumn("label", F.col("vertex"))

@@ -42,14 +42,16 @@ def label_propagation(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
             )
         )
-    if partitions:
-        e = e.repartition(partitions, "src")
-    e = e.persist()
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = e.repartition(partitions, "src").sortWithinPartitions("src").persist()
 
     vertices = (
         e.select(F.col("src").alias("vertex"))
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
+        .repartition(partitions, "vertex")
+        .sortWithinPartitions("vertex")
         .persist()
     )
     labels0 = vertices.withColumn("label", F.col("vertex"))

@@ -43,18 +43,24 @@ def _prepare(spark: SparkSession, edges: DataFrame, partitions: int | None):
     enorm = e.join(wsum, "src").select(
         "src", "dst", (F.col("w") / F.col("wsum")).alias("wnorm")
     )
-    if partitions:
-        enorm = enorm.repartition(partitions, "src")
-    enorm = enorm.persist()
+    # pre-partition AND pre-sort the big (edge) side on the join key so
+    # every superstep's sort-merge join reuses this layout (InMemoryScan
+    # preserves outputPartitioning/Ordering): no per-superstep exchange or
+    # sort of the edges — only the (smaller) ranks side shuffles.
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    enorm = (
+        enorm.repartition(partitions, "src").sortWithinPartitions("src").persist()
+    )
 
     vertices = (
         e.select(F.col("src").alias("vertex"))
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
+        .repartition(partitions, "vertex")
+        .sortWithinPartitions("vertex")
+        .persist()
     )
-    if partitions:
-        vertices = vertices.repartition(partitions, "vertex")
-    vertices = vertices.persist()
 
     # vertices with no outgoing edge contribute "dangling mass"
     dangling = vertices.join(
@@ -73,13 +79,31 @@ def pagerank(
     checkpoint_dir: str | None = None,
     partitions: int | None = None,
     resume: bool = True,
+    hub_threshold: int | None = None,
 ) -> PregelResult:
     """Run PageRank; returns PregelResult whose state is (vertex, score).
 
     ``num_iters`` forces an exact superstep count (oracle-comparison mode,
     no convergence action); otherwise iterate until max|Δ| < tol.
+
+    ``hub_threshold`` enables explicit skew handling: source vertices with
+    out-degree above it are HUBS — their score rows are broadcast and
+    their (huge) edge slices join map-side, so no shuffle partition ever
+    receives a hub's full adjacency (the north-star "broadcast of
+    high-degree frontiers"; AQE skew-join splitting covers the residual).
+    The hub-side partial contributions re-aggregate in the same
+    groupBy(dst) — structurally the salting split-merge (the hub's rows
+    are spread across ALL map partitions = maximal salt). Results are
+    IDENTICAL to the plain path (physical change only, up to float
+    summation order).
     """
     enorm, vertices, dangling = _prepare(spark, edges, partitions)
+    hub_enorm = None
+    if hub_threshold is not None:
+        deg = enorm.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        hub_ids = deg.where(F.col("deg") > hub_threshold).select("src").persist()
+        hub_enorm = enorm.join(F.broadcast(hub_ids), "src", "left_semi").persist()
+        enorm = enorm.join(F.broadcast(hub_ids), "src", "left_anti").persist()
     n = vertices.count()
     has_dangling = dangling.limit(1).count() > 0
     iters = num_iters if num_iters is not None else max_iters
@@ -96,9 +120,18 @@ def pagerank(
         aggregate over the materialized state in ``post`` — together this
         keeps the runner at ONE job per superstep instead of three.
         """
+        scatter = enorm.join(
+            ranks.select(F.col("vertex").alias("src"), "score"), "src"
+        )
+        if hub_enorm is not None:
+            hub_ranks = ranks.select(F.col("vertex").alias("src"), "score").join(
+                F.broadcast(hub_ids.select("src")), "src", "left_semi"
+            )
+            scatter = scatter.unionByName(
+                hub_enorm.join(F.broadcast(hub_ranks), "src")
+            )
         contribs = (
-            enorm.join(ranks.select(F.col("vertex").alias("src"), "score"), "src")
-            .groupBy(F.col("dst").alias("vertex"))
+            scatter.groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum(F.col("score") * F.col("wnorm")).alias("contrib"))
         )
         new = vertices.join(contribs, "vertex", "left")
@@ -142,4 +175,7 @@ def pagerank(
     enorm.unpersist()
     vertices.unpersist()
     dangling.unpersist()
+    if hub_enorm is not None:
+        hub_enorm.unpersist()
+        hub_ids.unpersist()
     return result

@@ -68,11 +68,29 @@ def truncate_state(spark: SparkSession, df: DataFrame) -> DataFrame:
         )
         from pyspark.sql.classic.dataframe import DataFrame as _CDF
 
-        return _CDF(new_jdf, spark)
+        out = _CDF(new_jdf, spark)
+        out._kg_ckpt_jrdd = jrdd  # handle for release_state
+        return out
     except Exception:
         # internal API unavailable (e.g. connect client) — the checkpoint
         # alone is still correct, just slower on long convergence runs.
         return ckpt
+
+
+def release_state(df: DataFrame | None) -> None:
+    """Free a superseded superstep's cached checkpoint blocks.
+
+    localCheckpoint persists every superstep's state (MEMORY_AND_DISK);
+    without an explicit release the cached RDDs accumulate across the
+    whole run — observed as per-superstep time creeping up (5s -> 13s
+    over 6 supersteps at 6M edges) from growing GC pressure.
+    """
+    jrdd = getattr(df, "_kg_ckpt_jrdd", None)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
 
 
 def _ckpt_path(checkpoint_dir: str, step: int) -> str:
@@ -139,6 +157,7 @@ def run_supersteps(
         new_state, info = step_fn(state, step)
         new_state = truncate_state(spark, new_state)
         rows = new_state.count()  # cheap: counts the cached partitions
+        release_state(state)  # prev superstep's cache no longer reachable
         if post_fn is not None:
             info = post_fn(new_state, info)
         dt = time.monotonic() - t0

@@ -123,6 +123,31 @@ def q_labelprop(spark, sf_dir):
     return res.state.select("vertex", "label")
 
 
+def q_pagerank_csr(spark, sf_dir):
+    from kgraph_framework_spark.operators.csr import pagerank_csr
+
+    edges = union_graph(_transcripts(spark, sf_dir))
+    res = pagerank_csr(spark, edges, num_iters=PAGERANK_ITERS, n_parts=8)
+    n = res.metrics[-1].detail["n_vertices"]
+    return res.state.select(
+        "vertex",
+        F.floor(F.col("score") * F.lit(float(n)) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("score_ppm"),
+    )
+
+
+def q_knn_graph(spark, sf_dir):
+    from kgraph_framework_spark.operators.knn_graph import nn_descent
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    graph, _metrics = nn_descent(spark, emb, k=10, max_iters=4)
+    return graph.select(
+        "src", "dst",
+        F.floor(F.col("dist") * 1_000_000 + 0.5).cast("long").alias("dist_ppm"),
+    )
+
+
 def q_tool_cousage(spark, sf_dir):
     return tool_cousage_edges(_transcripts(spark, sf_dir)).select(
         "src_vertex", "dst_vertex", "weight"
@@ -244,6 +269,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "union_edges": (q_union_edges, sql_oracle.edges_sql("union_edges")),
     "degrees": (q_degrees, sql_oracle.degrees_sql()),
     "pagerank_5iter": (q_pagerank, sql_oracle.pagerank_sql(PAGERANK_ITERS)),
+    # CSR/Arrow gather-scatter path — same semantics, same SQL twin
+    # (float sums differ only in order; ppm quantization absorbs that)
+    "pagerank_csr_5iter": (q_pagerank_csr, sql_oracle.pagerank_sql(PAGERANK_ITERS)),
+    # approximate + iterative: rows-only check; recall vs brute force in pytest
+    "knn_graph_nndescent": (q_knn_graph, None),
     "components_4round": (q_components, sql_oracle.cc_sql(CC_ROUNDS)),
     "labelprop_2round": (q_labelprop, sql_oracle.labelprop_sql(LP_ROUNDS)),
     "tool_cousage": (q_tool_cousage, sql_oracle.tool_cousage_sql()),

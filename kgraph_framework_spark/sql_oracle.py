@@ -45,14 +45,11 @@ tool_usage AS (
   SELECT CAST(substr(conv_id, 5) AS BIGINT) AS conv_num, tool, COUNT(*) AS cnt
   FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2
 ),
-tool_dict AS (
-  SELECT tool, CAST(row_number() OVER (ORDER BY tool) AS BIGINT) AS tool_rank
-  FROM (SELECT DISTINCT tool FROM transcripts WHERE tool IS NOT NULL)
-),
 tool_edges AS (
-  SELECT -(u.conv_num * 4 + 2) AS src_vertex, -(d.tool_rank * 4 + 3) AS dst_vertex,
-         CAST(u.cnt AS DOUBLE) AS weight, 'tool' AS edge_type
-  FROM tool_usage u JOIN tool_dict d USING (tool)
+  SELECT -(conv_num * 4 + 2) AS src_vertex,
+         -((('0x' || substr(md5(tool), 1, 15))::BIGINT) * 4 + 3) AS dst_vertex,
+         CAST(cnt AS DOUBLE) AS weight, 'tool' AS edge_type
+  FROM tool_usage
 ),
 handoff_seq AS (
   SELECT role, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
@@ -176,12 +173,13 @@ l{k + 1} AS (SELECT l.v, COALESCE(b.label, l.label) AS label
 def tool_cousage_sql() -> str:
     """tool-tool co-usage edges (u < v, weight = #conversations sharing)."""
     return f"""WITH {GRAPH_CTES},
-usage2 AS (SELECT DISTINCT u.conv_num, d.tool_rank
-           FROM tool_usage u JOIN tool_dict d USING (tool))
-SELECT a.tool_rank AS src_vertex, b.tool_rank AS dst_vertex,
+usage2 AS (SELECT DISTINCT conv_num,
+           -((('0x' || substr(md5(tool), 1, 15))::BIGINT) * 4 + 3) AS tid
+           FROM tool_usage)
+SELECT a.tid AS src_vertex, b.tid AS dst_vertex,
        CAST(COUNT(*) AS DOUBLE) AS weight
 FROM usage2 a JOIN usage2 b
-  ON a.conv_num = b.conv_num AND a.tool_rank < b.tool_rank
+  ON a.conv_num = b.conv_num AND a.tid < b.tid
 GROUP BY 1, 2"""
 
 
@@ -193,11 +191,12 @@ def triangles_sql() -> str:
     plan (plans/triangles.py) exactly.
     """
     return f"""WITH {GRAPH_CTES},
-usage2 AS (SELECT DISTINCT u.conv_num, d.tool_rank
-           FROM tool_usage u JOIN tool_dict d USING (tool)),
-copairs AS (SELECT DISTINCT a.tool_rank AS u, b.tool_rank AS v
+usage2 AS (SELECT DISTINCT conv_num,
+           -((('0x' || substr(md5(tool), 1, 15))::BIGINT) * 4 + 3) AS tid
+           FROM tool_usage),
+copairs AS (SELECT DISTINCT a.tid AS u, b.tid AS v
             FROM usage2 a JOIN usage2 b
-              ON a.conv_num = b.conv_num AND a.tool_rank < b.tool_rank),
+              ON a.conv_num = b.conv_num AND a.tid < b.tid),
 tri AS (SELECT p1.u AS a, p1.v AS b, p2.v AS c
         FROM copairs p1
         JOIN copairs p2 ON p1.v = p2.u

@@ -1,0 +1,93 @@
+"""NN-descent kNN-graph construction vs brute-force oracle.
+
+The reference's own test strategy (SURVEY.md §5): exact ground truth via
+O(N^2) scan, quality metric = graph recall, target recall high after few
+refinement rounds (the reference converges SIFT1M to >0.9 in <10 iters;
+the tiny fixture converges faster).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kgraph_framework_spark.operators.knn_graph import (
+    graph_recall,
+    knn_bruteforce_l2,
+    nn_descent,
+    random_init,
+)
+
+SF_TINY = "/root/testdata/sf0.001"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .persist()
+    )
+
+
+@pytest.fixture(scope="module")
+def truth(spark, emb):
+    return knn_bruteforce_l2(emb, k=K).persist()
+
+
+class TestBruteforceOracle:
+    def test_matches_numpy(self, emb, truth):
+        rows = emb.collect()
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], np.float64) for r in rows}
+        got = {}
+        for r in truth.collect():
+            got.setdefault(r["src"], []).append((r["dist"], r["dst"]))
+        for src in list(vecs)[:10]:
+            d2 = {
+                v: float(((vecs[src] - x) ** 2).sum())
+                for v, x in vecs.items()
+                if v != src
+            }
+            exp = sorted((d, v) for v, d in d2.items())[:K]
+            mine = sorted(got[src])
+            assert [v for _, v in mine] == [v for _, v in exp]
+            for (dm, _), (de, _) in zip(mine, exp):
+                assert dm == pytest.approx(de, rel=1e-10)
+
+
+class TestRandomInit:
+    def test_degree_and_no_self_loops(self, spark, emb):
+        init = random_init(emb, k=K)
+        bad = init.where(F.col("src") == F.col("dst")).count()
+        assert bad == 0
+        degs = [r["c"] for r in init.groupBy("src").agg(
+            F.count(F.lit(1)).alias("c")).collect()]
+        assert max(degs) <= K
+        assert min(degs) >= K - 2  # hash collisions may drop a slot or two
+
+    def test_deterministic(self, spark, emb):
+        a = random_init(emb, k=K).orderBy("src", "dst").collect()
+        b = random_init(emb, k=K).orderBy("src", "dst").collect()
+        assert a == b
+
+
+class TestNNDescent:
+    def test_recall_improves_and_clears_floor(self, spark, emb, truth):
+        init_recall = graph_recall(
+            random_init(emb, k=K).select("src", "dst"), truth
+        )
+        graph, metrics = nn_descent(spark, emb, k=K, max_iters=6)
+        final_recall = graph_recall(graph.select("src", "dst"), truth)
+        assert final_recall > init_recall + 0.3
+        assert final_recall >= 0.85, f"recall {final_recall:.3f}"
+        # update rate decays monotonically-ish to convergence
+        rates = [m["update_rate"] for m in metrics]
+        assert rates[-1] < rates[0]
+
+    def test_output_shape(self, spark, emb):
+        graph, _ = nn_descent(spark, emb, k=K, max_iters=2)
+        degs = graph.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        assert degs.where(F.col("c") > K).count() == 0
+        assert graph.where(F.col("src") == F.col("dst")).count() == 0
