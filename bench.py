@@ -73,6 +73,35 @@ def main() -> None:
     timed("triangles_tools", lambda: count_triangles(tool_cousage_edges(t)))
     timed("degrees", lambda: q_degrees(spark, sf_dir).count())
 
+    # the reference's own workload: NN-descent kNN-graph build + recall
+    from kgraph_framework_spark.operators.knn_graph import (
+        graph_recall,
+        knn_bruteforce_l2,
+        nn_descent,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    n_vecs = emb.count()
+    built = {}
+
+    def _build():
+        g, m = nn_descent(spark, emb, k=10, max_iters=10)
+        built["graph"] = g.persist()
+        built["graph"].count()
+        built["rounds"] = len(m)
+
+    timed("knn_build_nndescent", _build)
+    extra["knn_n_vecs"] = int(n_vecs)
+    extra["knn_rounds"] = built["rounds"]
+    truth = knn_bruteforce_l2(emb, k=10)
+    extra["knn_recall"] = round(
+        graph_recall(built["graph"].select("src", "dst"), truth), 4
+    )
+
     edges.unpersist()
     total = round(sum(queries.values()), 3)
     print(json.dumps({

@@ -138,19 +138,20 @@ def nn_descent(
     """Refine an initial candidate graph into a kNN graph.
 
     Returns (graph, metrics): graph = (src, dst, dist), top-k by squared
-    L2 per src, ties by id. l = pool size (default 2k), s = sample size
-    (default k) — the reference's L and S parameters
-    (tests/random_buildall_and_evaluate.cpp:58; its S=10 regime for
-    K=10-50; measured on the test fixture: l=2k/s=k converges to recall
-    0.97 in 7 rounds where l=1.5k/s=k/2 plateaued at 0.82). ``init``
-    overrides the starting pool (src, dst, dist, is_new) — e.g.
-    knn_search.lsh_init for the reference's rplsh pipeline; default =
-    random initializer.
+    L2 per src, ties by id. l = pool size (default 3k), s = sample size
+    (default 1.5k) — the reference's L and S parameters
+    (tests/random_buildall_and_evaluate.cpp:58). Measured on the
+    fixtures: l=1.5k/s=k/2 plateaus at recall 0.82-0.87, l=2k/s=k
+    reaches 0.97 on 500 vectors but only 0.87 on 2000 (pool/sample too
+    shallow to escape cluster-local optima), l=3k/s=1.5k reaches 0.97
+    on both in <=8 rounds. ``init`` overrides the starting
+    pool (src, dst, dist, is_new) — e.g. knn_search.lsh_init for the
+    reference's rplsh pipeline; default = random initializer.
     """
     if l is None:
-        l = 2 * k
+        l = 3 * k
     if s is None:
-        s = max(3, k)
+        s = max(3, (3 * k) // 2)
     emb = emb.select("vec_id", "embedding").persist()
     n_edges_target = None
 

@@ -22,6 +22,10 @@ class TestScanPruning:
     def test_token_stats_prunes_to_two_columns(self, spark):
         from kgraph_framework_spark.operators.textstats import token_stats
 
+        # another test may have persisted this parquet in full — Spark
+        # would then (correctly) substitute the cached relation and no
+        # scan pruning could apply; clear to observe the cold plan
+        spark.catalog.clearCache()
         docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
         plan = plan_of(token_stats(docs))
         # parquet scan must read only doc_id + text (not lang/source/n_chars)
