@@ -62,6 +62,30 @@ def _hash_order(*cols):
     return h
 
 
+def id_stats(emb: DataFrame) -> tuple[int, bool]:
+    """(n, contiguous): one job; contiguous = ids are exactly [0, n)."""
+    n, lo, hi = emb.agg(
+        F.count(F.lit(1)), F.min("vec_id"), F.max("vec_id")
+    ).first()
+    return int(n), (n > 0 and lo == 0 and hi == n - 1)
+
+
+def id_index(emb: DataFrame) -> DataFrame:
+    """(ridx, vec_id) dense 0-based index for non-contiguous id spaces.
+
+    Synthesized pseudo-random slots are positions in [0, n); with gapped
+    or non-zero-based ids they must be mapped onto REAL ids or the
+    downstream embedding join silently drops them (shrinking init pools
+    below k with no error). The global row_number is a one-off
+    sort of the (small) id column only — at 100 TB use zipWithIndex on
+    the id RDD instead; correctness is identical.
+    """
+    w = Window.orderBy("vec_id")
+    return emb.select("vec_id").withColumn(
+        "ridx", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
 def random_init(emb: DataFrame, k: int, seed: int = 42) -> DataFrame:
     """K distinct pseudo-random neighbors per vertex (no self-loops).
 
@@ -72,7 +96,7 @@ def random_init(emb: DataFrame, k: int, seed: int = 42) -> DataFrame:
     flagged new, exactly like InitializeGraph_Refine's unscored pools
     (src/index_graph.cpp:259-286 scores them lazily).
     """
-    n = emb.count()
+    n, contiguous = id_stats(emb)
     slots = emb.select(
         F.col("vec_id").alias("src"),
         F.explode(F.sequence(F.lit(0), F.lit(k))).alias("slot"),
@@ -82,8 +106,15 @@ def random_init(emb: DataFrame, k: int, seed: int = 42) -> DataFrame:
         F.pmod(
             _hash_order(F.col("src") * (k + 1) + F.col("slot"), F.lit(seed)),
             F.lit(n),
-        ).alias("dst"),
-    ).where(F.col("src") != F.col("dst"))
+        ).alias("ridx"),
+    )
+    if contiguous:
+        cand = cand.withColumnRenamed("ridx", "dst")
+    else:
+        cand = cand.join(
+            id_index(emb).select("ridx", F.col("vec_id").alias("dst")), "ridx"
+        ).drop("ridx")
+    cand = cand.where(F.col("src") != F.col("dst"))
     w = Window.partitionBy("src").orderBy("dst")
     return (
         cand.dropDuplicates(["src", "dst"])

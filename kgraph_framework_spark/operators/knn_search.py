@@ -29,7 +29,12 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kgraph_framework_spark.operators.knn_graph import _hash_order, _score_pairs
+from kgraph_framework_spark.operators.knn_graph import (
+    _hash_order,
+    _score_pairs,
+    id_index,
+    id_stats,
+)
 from kgraph_framework_spark.plans.pregel import release_state, truncate_state
 
 
@@ -54,12 +59,13 @@ def greedy_search(
         l = max(k + 5, int(1.5 * k))
     if n_seeds is None:
         n_seeds = l
-    n = emb.count()
+    n, contiguous = id_stats(emb)
     adj = graph.select("src", "dst").persist()
     qe = query_emb.select("query_id", F.col("q_emb").alias("embedding")).persist()
 
     # seeds: deterministic pseudo-random ids per query (reference seeds
-    # the pool with L random points, :352-360)
+    # the pool with L random points, :352-360); synthesized slots map
+    # through a dense index when ids are gapped/non-zero-based
     seeds = (
         qe.select("query_id")
         .select(
@@ -71,10 +77,15 @@ def greedy_search(
             F.pmod(
                 _hash_order(F.col("query_id") * n_seeds + F.col("slot"), F.lit(seed)),
                 F.lit(n),
-            ).alias("vec_id"),
+            ).alias("ridx"),
         )
-        .distinct()
     )
+    if contiguous:
+        seeds = seeds.withColumnRenamed("ridx", "vec_id").distinct()
+    else:
+        seeds = (
+            seeds.join(id_index(emb), "ridx").drop("ridx").distinct()
+        )
 
     def score(cands: DataFrame) -> DataFrame:
         """(query_id, vec_id) -> + dist (squared L2 to the query)."""
@@ -144,6 +155,7 @@ def greedy_search(
         .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "dist")
     )
     adj.unpersist()
+    qe.unpersist()
     return out
 
 

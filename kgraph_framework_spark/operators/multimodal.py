@@ -58,9 +58,13 @@ def _decode_stub(payload: bytes, media_type: str) -> dict:
     import hashlib
 
     head = payload[:16]
+    # hash the UPPERCASE HEX of the head bytes (not the raw bytes): this
+    # DuckDB build has no md5(BLOB), so the oracle twin reproduces the
+    # digest from hex(encode(text)) — byte-exact for any input encoding
+    # (the raw-bytes form only agreed on pure-ASCII fixtures).
     return {
         "n_bytes": len(payload),
-        "head_md5": hashlib.md5(head).hexdigest(),
+        "head_md5": hashlib.md5(head.hex().upper().encode()).hexdigest(),
         "byte_sum_16": int(sum(head)),
         "decoder": "stub-v1",
     }

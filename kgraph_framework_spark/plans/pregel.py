@@ -59,8 +59,21 @@ def truncate_state(spark: SparkSession, df: DataFrame) -> DataFrame:
     InternalRow RDD resets the estimate to the session default and pins
     planning cost constant across supersteps.
     """
+    try:
+        jsc = spark.sparkContext._jsc
+        before = set(jsc.getPersistentRDDs().keys())
+    except Exception:
+        jsc, before = None, set()
     ckpt = df.localCheckpoint(eager=True)
     try:
+        # localCheckpoint persists an INTERNAL RDD (not reachable from the
+        # Dataset's queryExecution().toRdd(), which is a fresh derived
+        # MapPartitionsRDD) — diff the persistent-RDD registry around the
+        # call to capture the actually-persisted handle for release_state.
+        kg_rdds = []
+        if jsc is not None:
+            reg = jsc.getPersistentRDDs()
+            kg_rdds = [reg[i] for i in set(reg.keys()) - before]
         jdf = ckpt._jdf
         jrdd = jdf.queryExecution().toRdd()
         new_jdf = spark._jsparkSession.internalCreateDataFrame(
@@ -69,7 +82,7 @@ def truncate_state(spark: SparkSession, df: DataFrame) -> DataFrame:
         from pyspark.sql.classic.dataframe import DataFrame as _CDF
 
         out = _CDF(new_jdf, spark)
-        out._kg_ckpt_jrdd = jrdd  # handle for release_state
+        out._kg_ckpt_rdds = kg_rdds  # handle for release_state
         return out
     except Exception:
         # internal API unavailable (e.g. connect client) — the checkpoint
@@ -85,8 +98,7 @@ def release_state(df: DataFrame | None) -> None:
     whole run — observed as per-superstep time creeping up (5s -> 13s
     over 6 supersteps at 6M edges) from growing GC pressure.
     """
-    jrdd = getattr(df, "_kg_ckpt_jrdd", None)
-    if jrdd is not None:
+    for jrdd in getattr(df, "_kg_ckpt_rdds", None) or []:
         try:
             jrdd.unpersist(False)
         except Exception:
@@ -103,14 +115,18 @@ def _manifest_path(checkpoint_dir: str) -> str:
 
 def latest_checkpoint(checkpoint_dir: str) -> int | None:
     """Highest superstep with a committed checkpoint, or None."""
+    rec = latest_manifest_record(checkpoint_dir)
+    return None if rec is None else rec["superstep"]
+
+
+def latest_manifest_record(checkpoint_dir: str) -> dict | None:
     path = _manifest_path(checkpoint_dir)
     if not os.path.exists(path):
         return None
     last = None
     with open(path) as fh:
         for line in fh:
-            rec = json.loads(line)
-            last = rec["superstep"]
+            last = json.loads(line)
     return last
 
 
@@ -144,10 +160,18 @@ def run_supersteps(
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
         if resume:
-            last = latest_checkpoint(checkpoint_dir)
-            if last is not None:
+            rec = latest_manifest_record(checkpoint_dir)
+            if rec is not None:
+                last = rec["superstep"]
                 state = spark.read.parquet(_ckpt_path(checkpoint_dir, last))
                 start_step = last + 1
+                if start_step >= max_iters or rec.get("converged"):
+                    # run already complete — don't enter the loop (which
+                    # would produce empty metrics and over-count steps)
+                    return PregelResult(
+                        state=state, supersteps=start_step,
+                        converged=bool(rec.get("converged")), metrics=[],
+                    )
 
     state = truncate_state(spark, state)
     converged = False

@@ -200,10 +200,20 @@ FROM ranked WHERE rn <= {k}"""
 
 
 def multimodal_features_sql() -> str:
-    return """SELECT doc_id,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  md5(substr(text, 1, 16)) AS head_md5,
-  CAST(COALESCE(list_sum(list_transform(generate_series(1, least(16, len(text))),
-       i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum_16,
+    # Byte-exact for non-ASCII text: operate on hex(encode(text)) — the
+    # UTF-8 BYTES — never on characters. head_md5 hashes the uppercase
+    # hex of the first 16 bytes (this DuckDB has no md5(BLOB));
+    # byte_sum_16 decodes each hex pair via strpos (note '0' is absent
+    # from the digit list so strpos returns 0 for it, by construction).
+    nyb = "greatest(strpos('123456789ABCDEF', substring(hx, {p}, 1)), 0)"
+    pair = f"{nyb.format(p='2*i-1')} * 16 + {nyb.format(p='2*i')}"
+    return f"""WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+  FROM documents)
+SELECT doc_id,
+  CAST(nb AS BIGINT) AS n_bytes,
+  md5(substring(hx, 1, 32)) AS head_md5,
+  CAST(COALESCE(list_sum(list_transform(generate_series(1, least(16, nb)),
+       i -> {pair})), 0) AS BIGINT) AS byte_sum_16,
   'stub-v1' AS decoder
-FROM documents"""
+FROM hx"""

@@ -72,6 +72,26 @@ class TestRandomInit:
         b = random_init(emb, k=K).orderBy("src", "dst").collect()
         assert a == b
 
+    def test_non_contiguous_ids(self, spark, emb):
+        """Gapped / non-zero-based id spaces must still produce k REAL
+        neighbors per vertex (synthesized slots map through the dense
+        index instead of being silently dropped by the embedding join)."""
+        shifted = emb.select(
+            (F.col("vec_id") * 7 + 1000).alias("vec_id"), "embedding"
+        ).persist()
+        ids = {r["vec_id"] for r in shifted.select("vec_id").collect()}
+        init = random_init(shifted, k=K)
+        bad_dst = init.select("dst").distinct().collect()
+        assert all(r["dst"] in ids for r in bad_dst)
+        degs = [
+            r["c"]
+            for r in init.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        assert min(degs) >= K - 2 and max(degs) <= K
+        shifted.unpersist()
+
 
 class TestNNDescent:
     def test_recall_improves_and_clears_floor(self, spark, emb, truth):

@@ -206,9 +206,44 @@ class TestMultimodal:
             payload = r["text"].encode("utf-8")
             f = feats[r["doc_id"]]
             assert f["n_bytes"] == len(payload)
-            assert f["head_md5"] == hashlib.md5(payload[:16]).hexdigest()
+            assert f["head_md5"] == hashlib.md5(
+                payload[:16].hex().upper().encode()
+            ).hexdigest()
             assert f["byte_sum_16"] == sum(payload[:16])
             assert f["decoder"] == "stub-v1"
+
+    def test_oracle_agrees_on_non_ascii(self, spark):
+        """The DuckDB twin must be BYTE-based: multi-byte UTF-8 text broke
+        the old substr(text,1,16)/ascii() character-based oracle."""
+        import duckdb
+
+        from kgraph_framework_spark.operators.multimodal import (
+            binary_corpus,
+            extract_features,
+        )
+        from kgraph_framework_spark.sql_oracle_docs import multimodal_features_sql
+
+        texts = [
+            (0, "héllo wörld — ünïcode test body"),
+            (1, "日本語のテキストです。マルチバイト。"),
+            (2, "plain ascii only here"),
+            (3, "emoji 🚀🔥 mixed with ascii"),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_bytes"], r["head_md5"], r["byte_sum_16"])
+            for r in extract_features(binary_corpus(docs)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in texts)
+            + ") AS t(doc_id, text)"
+        )
+        for doc_id, nb, hm, bs, _dec in con.execute(
+            multimodal_features_sql()
+        ).fetchall():
+            assert got[doc_id] == (nb, hm, bs), doc_id
 
     def test_real_media_type_raises(self):
         from kgraph_framework_spark.operators.multimodal import _decode_stub

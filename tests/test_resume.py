@@ -69,6 +69,40 @@ class TestResume:
             assert r["rows"] > 0
             assert "n_partitions" in r and "seconds" in r
 
+    def test_resume_completed_run_is_noop(self, spark, tmp_path):
+        """Re-running a fully-completed checkpointed run must return the
+        final state without re-entering the loop (and without the
+        empty-metrics IndexError the naive start_step math caused)."""
+        ckpt = str(tmp_path / "done")
+        first = pagerank(
+            spark, edges_df(spark, MICRO_EDGES), num_iters=3, checkpoint_dir=ckpt
+        )
+        again = pagerank(
+            spark, edges_df(spark, MICRO_EDGES), num_iters=3, checkpoint_dir=ckpt
+        )
+        assert again.supersteps == 3
+        assert again.metrics == []
+        assert _scores(again.state) == _scores(first.state)
+
+    def test_superstep_cache_stays_bounded(self, spark):
+        """release_state must free the RDD localCheckpoint actually
+        persisted — cached-block count may not grow per superstep."""
+        from pyspark.sql import functions as F
+
+        from kgraph_framework_spark.plans.pregel import run_supersteps
+
+        jsc = spark.sparkContext._jsc
+        seen = []
+
+        def step(df, i):
+            seen.append(len(jsc.getPersistentRDDs()))
+            return df.select((F.col("x") + 1).alias("x")), {}
+
+        run_supersteps(spark, spark.range(100).toDF("x"), step, max_iters=8)
+        # steady state: prior superstep's ckpt + current — constant, not
+        # one extra cached RDD per superstep
+        assert max(seen) - seen[0] <= 2, seen
+
     def test_resume_false_restarts(self, spark, tmp_path):
         ckpt = str(tmp_path / "nores")
         pagerank(
