@@ -165,6 +165,7 @@ def nn_descent(
     min_update_rate: float = 0.001,
     seed: int = 42,
     init: DataFrame | None = None,
+    exclude_pairs: DataFrame | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Refine an initial candidate graph into a kNN graph.
 
@@ -178,6 +179,15 @@ def nn_descent(
     on both in <=8 rounds. ``init`` overrides the starting
     pool (src, dst, dist, is_new) — e.g. knn_search.lsh_init for the
     reference's rplsh pipeline; default = random initializer.
+
+    ``exclude_pairs`` (a, b) are pairs ALREADY COMPARED during init
+    (co-bucketed in some LSH table) — refinement skips re-scoring them,
+    the reference's cross-table inSameBucket guard carried into
+    NN-descent (/root/reference/include/index/index_graph.h:39-44,
+    src/index_graph.cpp:26; handed off via SetInBuckets,
+    tests/rplsh_buildall_and_evaluate.cpp:112-115). Their init-time
+    distances are already in the pool, so the result is unchanged —
+    only redundant distance evaluations are dropped.
     """
     if l is None:
         l = 3 * k
@@ -241,6 +251,21 @@ def nn_descent(
         pairs = (
             nn.select("a", "b").unionByName(no.select("a", "b")).distinct()
         )
+        if exclude_pairs is not None:
+            # canonical-order anti-join: (a,b) and (b,a) both skip
+            pairs = (
+                pairs.withColumn("ca", F.least("a", "b"))
+                .withColumn("cb", F.greatest("a", "b"))
+                .join(
+                    exclude_pairs.select(
+                        F.least("a", "b").alias("ca"),
+                        F.greatest("a", "b").alias("cb"),
+                    ).distinct(),
+                    ["ca", "cb"],
+                    "left_anti",
+                )
+                .select("a", "b")
+            )
 
         scored = _score_pairs(pairs, emb)
         sym = scored.unionByName(

@@ -159,6 +159,159 @@ def greedy_search(
     return out
 
 
+def clsh_buckets(
+    emb: DataFrame,
+    bits: int,
+    n_tables: int,
+    seed: int,
+    max_bucket: int,
+    extra_bits: int = 12,
+) -> DataFrame:
+    """Recursive LSH bucket assignment — (vec_id, table_id, bucket).
+
+    The reference's CLSH (/root/reference/src/index_lsh.cpp:616-697)
+    splits any bucket above the size cap with a FRESH hyperplane and
+    recurses (extendHashFamily :604-613). Spark form: every vector gets
+    a full ``bits + extra_bits``-bit code in ONE vectorized pass, and
+    the recursion becomes iterative PREFIX refinement on the aggregate:
+    a bucket at depth d is the code's leading ``bits + d`` bits; buckets
+    still over the cap descend one level (one more bit of their existing
+    code). No vector is ever dropped (the old behavior skipped oversized
+    buckets wholesale), and stuck buckets (all-identical codes) settle
+    at the depth floor after ``extra_bits`` rounds, mirroring the
+    reference's 10-repeat escape hatch (:654-659).
+
+    Bucket key packs (depth, prefix) so buckets from different depths
+    never collide: bucket = (prefix << 5) | depth_used.
+    """
+    from kgraph_framework_spark.operators.similarity import lsh_code_udf
+
+    total_bits = bits + extra_bits
+    tagged = None
+    for t in range(n_tables):
+        code = lsh_code_udf(total_bits, seed=seed + 1000 * t)
+        b = emb.select(
+            "vec_id",
+            F.lit(t).alias("table_id"),
+            code(F.col("embedding").cast("array<double>")).alias("code"),
+        )
+        tagged = b if tagged is None else tagged.unionByName(b)
+
+    # NOTE: lsh_code_udf packs bit j of plane j at weight 2^j, so the
+    # "leading" bits of the conceptual prefix are the LOW bits of the
+    # packed code: prefix at depth d = code & ((1 << (bits+d)) - 1).
+    #
+    # Single-pass settle-depth computation (no per-depth iteration —
+    # an iterative split loop doubles the logical-plan DAG per level):
+    # explode every code into its (depth, prefix) chain once, count
+    # bucket sizes per (table, depth, prefix), and settle each vector at
+    # its SHALLOWEST under-cap depth. Bucket sizes shrink monotonically
+    # with depth, so min(depth | size <= cap) IS the recursion's stop
+    # level; vectors whose whole chain is over-cap (degenerate identical
+    # codes) settle at the depth floor — the reference's stuck-repeat
+    # escape (:654-659). Cost: 2 shuffles regardless of depth.
+    ex = tagged.select(
+        "vec_id",
+        "table_id",
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(extra_bits))).alias("d"),
+    ).withColumn(
+        "prefix",
+        F.col("code").bitwiseAND(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {bits} + d) - 1")
+        ),
+    )
+    sizes = ex.groupBy("table_id", "d", "prefix").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    small = sizes.where(F.col("bn") <= max_bucket).select(
+        "table_id", "d", "prefix"
+    )
+    mind = (
+        ex.join(small, ["table_id", "d", "prefix"], "left_semi")
+        .groupBy("vec_id", "table_id", "code")
+        .agg(F.min("d").alias("d"))
+    )
+    return (
+        tagged.join(mind, ["vec_id", "table_id", "code"], "left")
+        .withColumn("d", F.coalesce(F.col("d"), F.lit(extra_bits)))
+        .withColumn(
+            "prefix",
+            F.col("code").bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {bits} + d) - 1")
+            ),
+        )
+        .select(
+            "vec_id",
+            "table_id",
+            (F.shiftleft(F.col("prefix"), 5) + F.col("d")).alias("bucket"),
+        )
+    )
+
+
+def bucket_pairs(buckets: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Distinct canonical (a < b) co-bucketed pairs from a bucket table.
+
+    This is both the init's candidate set and the refinement-phase
+    exclusion set (the reference's inSameBucket skip,
+    /root/reference/include/index/index_graph.h:39-44).
+    ``max_bucket`` guards against quadratic blowup if the caller passes
+    un-split buckets.
+    """
+    b = buckets
+    if max_bucket is not None:
+        sizes = b.groupBy("table_id", "bucket").agg(F.count(F.lit(1)).alias("bn"))
+        b = b.join(
+            sizes.where(F.col("bn") <= max_bucket).select("table_id", "bucket"),
+            ["table_id", "bucket"],
+        )
+    lhs = b.select("table_id", "bucket", F.col("vec_id").alias("a"))
+    rhs = b.select("table_id", "bucket", F.col("vec_id").alias("b"))
+    return (
+        lhs.join(rhs, ["table_id", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def pad_to_k(
+    pool: DataFrame, emb: DataFrame, k: int, seed: int = 4242
+) -> DataFrame:
+    """Pad vertices with < k pool entries up to k with scored random ids.
+
+    Reference analog: the random pad of underfull rows after KD-tree /
+    LSH init (/root/reference/src/index_kdtree.cpp:482-499,
+    src/index_lsh.cpp:271-274). Deterministic (seeded hash slots); only
+    the underfull vertices generate candidates, so the pad is O(deficit).
+    """
+    from kgraph_framework_spark.operators.knn_graph import random_init
+
+    degs = pool.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    under = degs.where(F.col("deg") < k).select("src")
+    verts = emb.select(F.col("vec_id").alias("src"))
+    missing = verts.join(degs, "src", "left_anti").select("src")
+    need = under.unionByName(missing)
+    # 2k random candidates per underfull vertex (collisions with the
+    # existing pool are deduped by the groupBy below)
+    rand = random_init(emb, k=2 * k, seed=seed).join(need, "src", "left_semi")
+    scored = _score_pairs(
+        rand.select(F.col("src").alias("a"), F.col("dst").alias("b")), emb
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
+    merged = (
+        pool.select("src", "dst", "dist")
+        .unionByName(scored)
+        .groupBy("src", "dst")
+        .agg(F.min("dist").alias("dist"))
+    )
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("src", "dst", "dist", F.lit(True).alias("is_new"))
+    )
+
+
 def lsh_init(
     emb: DataFrame,
     k: int,
@@ -166,58 +319,43 @@ def lsh_init(
     n_tables: int = 4,
     seed: int = 42,
     max_bucket: int = 200,
-) -> DataFrame:
+    n: int | None = None,
+    return_buckets: bool = False,
+):
     """RP-LSH candidate init: within-bucket all-pairs, top-K per vertex.
 
     ``n_tables`` independent hyperplane sets (the reference's numTable,
-    rplsh driver -t flag); buckets larger than ``max_bucket`` are skipped
-    (degenerate buckets — the reference recurses instead, CLSH
-    :616-697; skipping keeps the init O(N * max_bucket)).
-    Output matches random_init's schema: (src, dst, dist, is_new).
+    rplsh driver -t flag). Oversized buckets are recursively SPLIT with
+    extra hyperplane bits (CLSH, src/index_lsh.cpp:616-697) — no vertex
+    is dropped — and vertices still under k candidates after the bucket
+    joins are padded with scored random ids (src/index_lsh.cpp:271-274).
+    Output matches random_init's schema (src, dst, dist, is_new); with
+    ``return_buckets`` also returns the (vec_id, table_id, bucket)
+    assignment so refinement can skip already-compared co-bucketed pairs
+    (SetInBuckets handoff, tests/rplsh_buildall_and_evaluate.cpp:112-115).
     """
-    from kgraph_framework_spark.operators.similarity import (
-        _bucket_col,
-        _hyperplanes,
-        adaptive_bits,
-    )
+    from kgraph_framework_spark.operators.similarity import adaptive_bits
 
-    n = emb.count()
     if bits is None:
+        if n is None:
+            n = emb.count()
         bits = adaptive_bits(n, target_bucket=64)
-    e2 = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
-    buckets = None
-    dim = len(emb.select("embedding").first()[0])
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, bits, seed=seed + 1000 * t)
-        b = e2.select(
-            "vec_id",
-            F.lit(t).alias("table_id"),
-            _bucket_col(F.col("ed"), planes).alias("code"),
-        )
-        buckets = b if buckets is None else buckets.unionByName(b)
-    sizes = buckets.groupBy("table_id", "code").agg(F.count(F.lit(1)).alias("bn"))
-    ok = buckets.join(
-        sizes.where(F.col("bn") <= max_bucket).select("table_id", "code"),
-        ["table_id", "code"],
-    )
-    a = ok.select("table_id", "code", F.col("vec_id").alias("a"))
-    b = ok.select("table_id", "code", F.col("vec_id").alias("b"))
-    pairs = (
-        a.join(b, ["table_id", "code"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    buckets = clsh_buckets(emb, bits, n_tables, seed, max_bucket)
+    pairs = bucket_pairs(buckets)
     scored = _score_pairs(pairs, emb)
     sym = scored.unionByName(
         scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "dist")
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
     w = Window.partitionBy("src").orderBy("dist", "dst")
-    return (
+    pool = (
         sym.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("src", "dst", "dist", F.lit(True).alias("is_new"))
     )
+    pool = pad_to_k(pool, emb, k, seed=seed + 7)
+    if return_buckets:
+        return pool, buckets
+    return pool
 
 
 def graph_add(

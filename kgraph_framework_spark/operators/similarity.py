@@ -111,20 +111,42 @@ def adaptive_bits(n: int, target_bucket: int = ANN_TARGET_BUCKET) -> int:
     return max(2, int(math.log2(max(n / target_bucket, 2.0))))
 
 
-def _bucket_col(arr_col, planes: np.ndarray):
-    """Sign-bit bucket id of a (double-cast) embedding column."""
-    code = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                arr_col,
-                F.array(*[F.lit(float(v)) for v in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        code = code + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+_PLANE_CACHE: dict = {}
+
+
+def _planes_cached(bits: int, dim: int, seed: int) -> np.ndarray:
+    """Executor-side hyperplane cache: planes are a pure function of
+    (bits, dim, seed), so every executor regenerates them identically —
+    no broadcast needed, no driver-side dim probe."""
+    key = (bits, dim, seed)
+    if key not in _PLANE_CACHE:
+        _PLANE_CACHE[key] = _hyperplanes(dim, bits, seed)
+    return _PLANE_CACHE[key]
+
+
+def lsh_code_udf(bits: int, seed: int = ANN_SEED):
+    """Sign-bit LSH code of an embedding column as ONE numpy matmul per
+    Arrow batch (projection + sign-packing, the reference's
+    random_projection, /root/reference/src/index_lsh.cpp:521-546).
+
+    Replaces the expression-tree form (zip_with against `dim` literal
+    arrays per bit), whose plan size grew O(bits × dim) — at realistic
+    dims (768+) and adaptive code lengths that meant 10^4-10^5 Catalyst
+    nodes per projection. The UDF plan is a single node regardless of
+    bits/dim (asserted in tests/test_plans.py), and the matmul runs
+    BLAS-vectorized like ivf_topk's centroid assignment.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def code(embs):
+        x = np.stack(embs.to_numpy()).astype(np.float64)
+        planes = _planes_cached(bits, x.shape[1], seed)
+        sign = (x @ planes.T) > 0  # (batch, bits)
+        weights = np.left_shift(np.int64(1), np.arange(bits, dtype=np.int64))
+        return pd.Series((sign.astype(np.int64) * weights).sum(axis=1))
+
     return code
 
 
@@ -227,6 +249,7 @@ def ann_lsh_topk(
     k: int = 5,
     bits: int | None = ANN_BITS,
     multiprobe: bool = True,
+    n: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane buckets.
 
@@ -234,21 +257,21 @@ def ann_lsh_topk(
     (verified >= a fixed floor in pytest against the exact oracle).
     Queries probe their own bucket and (multiprobe) every bucket at
     Hamming distance 1 — 1+bits buckets out of 2^bits. ``bits=None``
-    adapts the code length to the corpus size.
+    adapts the code length to the corpus size (``n`` skips the count
+    job when the caller already knows it).
     """
-    dim = len(emb.select("embedding").first()[0])
     if bits is None:
-        bits = adaptive_bits(emb.count())
-    planes = _hyperplanes(dim, bits)
+        bits = adaptive_bits(emb.count() if n is None else n)
+    code = lsh_code_udf(bits)
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("ce"),
     )
-    c = c.withColumn("bucket", _bucket_col(F.col("ce"), planes)).withColumn(
+    c = c.withColumn("bucket", code(F.col("ce"))).withColumn(
         "cn", _dot(F.col("ce"), F.col("ce"))
     )
     q = queries.select("query_id", _as_double(F.col("q_emb")).alias("qe"))
-    q = q.withColumn("qbucket", _bucket_col(F.col("qe"), planes)).withColumn(
+    q = q.withColumn("qbucket", code(F.col("qe"))).withColumn(
         "qn", _dot(F.col("qe"), F.col("qe"))
     )
     if multiprobe:

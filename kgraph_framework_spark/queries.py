@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kgraph_framework_spark import quality as _quality
 from kgraph_framework_spark import sql_oracle, sql_oracle_docs
 from kgraph_framework_spark.operators.edges import (
     handoff_edges,
@@ -138,14 +139,21 @@ def q_pagerank_csr(spark, sf_dir):
 
 
 def q_knn_graph(spark, sf_dir):
-    from kgraph_framework_spark.operators.knn_graph import nn_descent
+    """NN-descent quality gate: recall vs Spark brute-force truth as a
+    hash-comparable summary row (zero `no_oracle` queries — the driver
+    gate, not just pytest, certifies ANN quality)."""
+    from kgraph_framework_spark.quality import nndescent_gate
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    graph, _metrics = nn_descent(spark, emb, k=10, max_iters=4)
-    return graph.select(
-        "src", "dst",
-        F.floor(F.col("dist") * 1_000_000 + 0.5).cast("long").alias("dist_ppm"),
-    )
+    return nndescent_gate(spark, emb, k=10, max_iters=4)
+
+
+def q_knn_graph_kdtree(spark, sf_dir):
+    """KD-forest initializer lifecycle gate (reference kdtree driver)."""
+    from kgraph_framework_spark.quality import kdtree_gate
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return kdtree_gate(spark, emb, k=10, max_iters=4)
 
 
 def q_tool_cousage(spark, sf_dir):
@@ -232,23 +240,15 @@ def q_knn_cosine(spark, sf_dir):
 
 
 def q_knn_ann(spark, sf_dir):
-    from kgraph_framework_spark.operators.similarity import (
-        ann_lsh_topk,
-        queries_from_corpus,
-    )
+    from kgraph_framework_spark.quality import ann_lsh_gate
 
-    emb = _emb(spark, sf_dir)
-    return ann_lsh_topk(emb, queries_from_corpus(emb))
+    return ann_lsh_gate(spark, _emb(spark, sf_dir))
 
 
 def q_knn_ivf(spark, sf_dir):
-    from kgraph_framework_spark.operators.similarity import (
-        ivf_topk,
-        queries_from_corpus,
-    )
+    from kgraph_framework_spark.quality import ann_ivf_gate
 
-    emb = _emb(spark, sf_dir)
-    return ivf_topk(emb, queries_from_corpus(emb))
+    return ann_ivf_gate(spark, _emb(spark, sf_dir))
 
 
 def q_multimodal(spark, sf_dir):
@@ -272,8 +272,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # CSR/Arrow gather-scatter path — same semantics, same SQL twin
     # (float sums differ only in order; ppm quantization absorbs that)
     "pagerank_csr_5iter": (q_pagerank_csr, sql_oracle.pagerank_sql(PAGERANK_ITERS)),
-    # approximate + iterative: rows-only check; recall vs brute force in pytest
-    "knn_graph_nndescent": (q_knn_graph, None),
+    # approximate + iterative: recall-vs-truth gate row (quality.py) —
+    # hash-compared, so the driver certifies ANN quality
+    "knn_graph_nndescent": (q_knn_graph, _quality.nndescent_gate_sql()),
+    # KD-forest init -> NN-descent: the reference kdtree driver (E2)
+    "knn_graph_kdtree": (q_knn_graph_kdtree, _quality.kdtree_gate_sql()),
     "components_4round": (q_components, sql_oracle.cc_sql(CC_ROUNDS)),
     "labelprop_2round": (q_labelprop, sql_oracle.labelprop_sql(LP_ROUNDS)),
     "tool_cousage": (q_tool_cousage, sql_oracle.tool_cousage_sql()),
@@ -287,7 +290,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_lsh": (q_dedup_minhash, sql_oracle_docs.minhash_lsh_sql()),
     "dedup_simhash": (q_dedup_simhash, sql_oracle_docs.simhash_sql()),
     "knn_cosine_bruteforce": (q_knn_cosine, sql_oracle_docs.knn_cosine_sql()),
-    "knn_ann_lsh": (q_knn_ann, None),  # approximate by design: rows-only
-    "knn_ann_ivf": (q_knn_ivf, None),  # approximate by design: rows-only
+    "knn_ann_lsh": (q_knn_ann, _quality.lsh_gate_sql()),
+    "knn_ann_ivf": (q_knn_ivf, _quality.ivf_gate_sql()),
     "multimodal_features": (q_multimodal, sql_oracle_docs.multimodal_features_sql()),
 }

@@ -87,6 +87,45 @@ class TestLshInit:
         init = lsh_init(emb, k=K)
         assert init.groupBy("src").count().where(F.col("count") > K).count() == 0
 
+    def test_full_coverage_padded_to_k(self, spark, emb):
+        """CLSH split + random pad: EVERY vertex exits init with exactly
+        k candidates (the old skip-big-buckets path silently dropped
+        oversized-bucket vertices; underfull pools relied on luck)."""
+        init = lsh_init(emb, k=K)
+        n = emb.count()
+        degs = init.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        assert degs.count() == n
+        assert degs.where(F.col("c") != K).count() == 0
+
+    def test_clsh_splits_oversized_buckets(self, spark, emb):
+        from kgraph_framework_spark.operators.knn_search import clsh_buckets
+
+        cap = 20
+        buckets = clsh_buckets(emb, bits=2, n_tables=2, seed=7, max_bucket=cap)
+        # every vector keeps one bucket per table
+        n = emb.count()
+        per_table = buckets.groupBy("table_id").agg(F.count(F.lit(1)).alias("c"))
+        assert all(r["c"] == n for r in per_table.collect())
+        # bucket sizes respect the cap (up to degenerate identical codes)
+        sizes = buckets.groupBy("table_id", "bucket").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        over = sizes.where(F.col("bn") > cap).count()
+        assert over == 0, f"{over} buckets above cap"
+
+    def test_bucket_exclusion_same_quality(self, spark, emb, truth):
+        """Skipping init-compared pairs in refinement (inSameBucket)
+        must not hurt recall — those distances are already in the pool."""
+        from kgraph_framework_spark.operators.knn_search import bucket_pairs
+
+        pool, buckets = lsh_init(emb, k=K, return_buckets=True)
+        excl = bucket_pairs(buckets)
+        g, _ = nn_descent(
+            spark, emb, k=K, max_iters=3, init=pool, exclude_pairs=excl
+        )
+        rec = graph_recall(g.select("src", "dst"), truth)
+        assert rec >= 0.85, f"recall with exclusion {rec:.2f}"
+
 
 class TestGraphAdd:
     def test_incremental_matches_full_rebuild_quality(self, spark, emb):

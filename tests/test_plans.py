@@ -85,3 +85,22 @@ class TestBroadcasts:
         emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
         plan = plan_of(cosine_topk(emb, queries_from_corpus(emb, 4), k=3))
         assert "Broadcast" in plan
+
+
+class TestLshPlanShape:
+    def test_code_plan_flat_in_bits(self, spark):
+        """LSH codes are ONE vectorized-UDF node: plan size must not grow
+        with the code length (the expression-tree form was O(bits×dim)
+        literal nodes — a Catalyst compile blowup at realistic dims)."""
+        from kgraph_framework_spark.operators.similarity import (
+            ann_lsh_topk,
+            queries_from_corpus,
+        )
+
+        emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+        q = queries_from_corpus(emb, 4)
+        small = plan_of(ann_lsh_topk(emb, q, k=3, bits=4, multiprobe=False))
+        big = plan_of(ann_lsh_topk(emb, q, k=3, bits=24, multiprobe=False))
+        assert len(big) < 1.3 * len(small), (len(small), len(big))
+        # and the code column is computed by an Arrow-batched UDF
+        assert "ArrowEvalPython" in big
