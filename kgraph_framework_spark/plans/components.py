@@ -24,6 +24,126 @@ from pyspark.sql import functions as F
 from kgraph_framework_spark.plans.pregel import PregelResult, run_supersteps
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", Alg. 3): every node links its LARGER
+    neighbors to its minimum neighborhood member."""
+    sym = (
+        e.select("u", "v")
+        .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round (Alg. 4): orient large→small, link every node's
+    smaller-or-equal neighbors (and itself) to the neighborhood min."""
+    orient = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = orient.groupBy("u").agg(F.min("v").alias("mv"))
+    nb = orient.join(mins, "u")
+    return (
+        nb.where(F.col("v") != F.col("mv"))
+        .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+        .unionByName(mins.select(F.col("u"), F.col("mv").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iters: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> PregelResult:
+    """CC via alternating large-star/small-star edge rewriting.
+
+    Alternative to hash-min label exchange (PAPERS.md:
+    CC-in-logarithmic-rounds): the STATE is the shrinking edge set, not
+    a label vector — each superstep rewrites edges toward component
+    minima and provably converges in O(log n) rounds even on long
+    paths, where plain hash-min needs O(diameter) and pointer-jumping
+    hash-min O(log diameter) with a heavier per-round self-join.
+    Convergence = the edge multiset reaches a fixpoint (order-free
+    checksum). Labels at the fixpoint: every vertex points at its
+    component's minimum id (star edges), roots label themselves —
+    identical output to :func:`connected_components`.
+    """
+    e0 = (
+        edges.select(
+            F.col("src_vertex").alias("u"), F.col("dst_vertex").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    vertices = (
+        edges.select(F.col("src_vertex").alias("vertex"))
+        .unionByName(edges.select(F.col("dst_vertex").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+
+    prev_chk: list = [None]
+
+    def step(e: DataFrame, i: int):
+        return _small_star(_large_star(e)), {}
+
+    def post(state: DataFrame, info: dict) -> dict:
+        row = state.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(
+                    F.col("u") * F.lit(1_099_511_627) + F.col("v"),
+                    F.lit(1 << 61),
+                )
+            ).alias("h"),
+        ).first()
+        chk = (row["n"], row["h"])
+        info["changed"] = chk != prev_chk[0]
+        prev_chk[0] = chk
+        return info
+
+    result = run_supersteps(
+        spark,
+        e0,
+        step,
+        max_iters,
+        converged_fn=lambda info: not info.get("changed", True),
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        post_fn=post,
+    )
+    star = result.state.select(
+        F.greatest("u", "v").alias("child"), F.least("u", "v").alias("root")
+    )
+    lbl = star.groupBy("child").agg(F.min("root").alias("l"))
+    labels = (
+        vertices.join(lbl, vertices.vertex == lbl.child, "left")
+        .select(
+            "vertex", F.coalesce(F.col("l"), F.col("vertex")).alias("label")
+        )
+    )
+    result.state = labels
+    vertices.unpersist()
+    return result
+
+
 def connected_components(
     spark: SparkSession,
     edges: DataFrame,

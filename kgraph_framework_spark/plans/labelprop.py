@@ -15,7 +15,7 @@ structures), so the canonical invocation is a fixed round count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgraph_framework_spark.plans.pregel import PregelResult, run_supersteps
@@ -57,18 +57,28 @@ def label_propagation(
     labels0 = vertices.withColumn("label", F.col("vertex"))
 
     def step(labels: DataFrame, i: int):
+        # Two-stage aggregation, skew-proof at hub vertices:
+        #   1. groupBy(dst, label).sum(w) — Spark's partial (map-side)
+        #      aggregation collapses a hub's per-neighbor vote rows to
+        #      one buffer per mapper BEFORE the shuffle;
+        #   2. per-vertex argmax via max_by over (wvote, -label) — again
+        #      a partial+final aggregate, so no single reducer ever sees
+        #      a hub's full (label, weight) list. The previous form used
+        #      a row_number() Window whose partitionBy(vertex) shipped
+        #      every distinct neighbor label of a hub to one task.
+        # Ordering struct = (wvote, -label): max picks the greatest
+        # weight, ties broken by SMALLEST label — identical semantics
+        # to the window version and the DuckDB twin (weights are
+        # integer counts, so double sums are exact and order-free).
         votes = (
             e.join(labels.withColumnRenamed("vertex", "src"), "src")
             .groupBy(F.col("dst").alias("vertex"), "label")
             .agg(F.sum("w").alias("wvote"))
         )
-        w = Window.partitionBy("vertex").orderBy(
-            F.col("wvote").desc(), F.col("label").asc()
-        )
-        best = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vertex", F.col("label").alias("best_label"))
+        best = votes.groupBy("vertex").agg(
+            F.max_by(
+                "label", F.struct(F.col("wvote"), (-F.col("label")).alias("nl"))
+            ).alias("best_label")
         )
         new = labels.join(best, "vertex", "left").select(
             "vertex",

@@ -10,14 +10,21 @@ neighbors never becomes the wedge pivot (cf. the reference's work-stealing
 scheduled). Counts are orientation-invariant, so the id-oriented DuckDB
 oracle agrees exactly.
 
-The wedge join and closure join are plain equi-joins — Catalyst picks
-sort-merge/broadcast and AQE splits skewed partitions at runtime. A
-sorted-adjacency-intersection variant inside an Arrow UDF (HERO-style,
-see PAPERS.md) is the planned optimization for dense graphs.
+Two physical strategies, same exact counts:
+
+* DEFAULT — sorted-adjacency intersection (HERO-style, PAPERS.md):
+  oriented edges join their endpoints' sorted out-adjacency arrays once
+  and an Arrow kernel intersects them; no wedge table is ever
+  materialized (the wedge count is sum-of-squared-oriented-degrees —
+  the dominant shuffle at dense/skewed graphs).
+* wedge-join (``*_wedge`` variants) — plain equi-joins; kept for
+  cross-checks and benchmarks.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -63,17 +70,98 @@ def _triangle_rows(edges: DataFrame) -> DataFrame:
     )
 
 
+def _common_neighbors(edges_with_adj: DataFrame) -> DataFrame:
+    """Arrow-batched sorted-array intersection per oriented edge.
+
+    The HERO-style alternative to wedge materialization (SURVEY §2.11,
+    PAPERS.md): instead of exploding every wedge (pivot row per
+    2-path) and closing it with a second big join, each oriented edge
+    (a,b) carries both endpoints' SORTED out-adjacency arrays and an
+    Arrow kernel intersects them — every common neighbor c closes the
+    triangle {a,b,c} exactly once (a→b, a→c, b→c by orientation
+    transitivity). Shuffle volume: two adjacency joins; the wedge table
+    (sum-of-squared-degrees rows) never exists.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def common(na, nb):
+        out = []
+        for x, y in zip(na, nb):
+            if x is None or y is None or len(x) == 0 or len(y) == 0:
+                out.append(np.empty(0, np.int64))
+            else:
+                out.append(
+                    np.intersect1d(
+                        np.asarray(x, np.int64),
+                        np.asarray(y, np.int64),
+                        assume_unique=True,
+                    )
+                )
+        return pd.Series(out)
+
+    return edges_with_adj.select(
+        "a", "b", common(F.col("na"), F.col("nb")).alias("cs")
+    )
+
+
+def _edge_commons(edges: DataFrame) -> DataFrame:
+    """(a, b, cs): every oriented edge with its common-neighbor list."""
+    o = _oriented(edges)
+    adj = o.groupBy(F.col("a").alias("v")).agg(
+        F.sort_array(F.collect_list("b")).alias("nbrs")
+    )
+    with_adj = (
+        o.join(adj.select(F.col("v").alias("a"), F.col("nbrs").alias("na")), "a")
+        .join(
+            adj.select(F.col("v").alias("b"), F.col("nbrs").alias("nb")),
+            "b",
+            "left",
+        )
+    )
+    return _common_neighbors(with_adj)
+
+
 def count_triangles(edges: DataFrame) -> int:
-    """Exact global triangle count of the undirected simple graph."""
+    """Exact global triangle count (sorted-adjacency intersection)."""
+    row = (
+        _edge_commons(edges)
+        .agg(F.coalesce(F.sum(F.size("cs")), F.lit(0)).alias("t"))
+        .first()
+    )
+    return int(row["t"])
+
+
+def count_triangles_wedge(edges: DataFrame) -> int:
+    """Exact count via the wedge-join path (kept for cross-checks/bench)."""
     return _triangle_rows(edges).count()
 
 
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     """(vertex, triangles) — number of triangles each vertex belongs to.
 
-    Vertices in no triangle are omitted (join with the vertex set and
-    coalesce(0) if a dense output is needed).
+    Sorted-adjacency intersection path: per oriented edge (a,b) with
+    common set C, credit |C| to a and b and 1 to every c ∈ C. Vertices
+    in no triangle are omitted (join with the vertex set and coalesce(0)
+    if a dense output is needed).
     """
+    pe = _edge_commons(edges).where(F.size("cs") > 0)
+    credits = (
+        pe.select(F.col("a").alias("vertex"), F.size("cs").alias("t"))
+        .unionByName(
+            pe.select(F.col("b").alias("vertex"), F.size("cs").alias("t"))
+        )
+        .unionByName(
+            pe.select(F.explode("cs").alias("vertex"), F.lit(1).alias("t"))
+        )
+    )
+    return credits.groupBy("vertex").agg(
+        F.sum("t").cast("long").alias("triangles")
+    )
+
+
+def triangles_per_vertex_wedge(edges: DataFrame) -> DataFrame:
+    """Wedge-join formulation (kept for cross-checks and benching)."""
     t = _triangle_rows(edges)
     allv = (
         t.select(F.col("a").alias("vertex"))

@@ -78,6 +78,50 @@ class TestConnectedComponents:
         assert res.converged
 
 
+class TestStarComponents:
+    def test_micro_matches_hashmin(self, spark):
+        from kgraph_framework_spark.plans.components import (
+            connected_components_star,
+        )
+
+        star = connected_components_star(spark, edges_df(spark, MICRO_EDGES))
+        exp = oracle.components_ref(MICRO_EDGES)
+        assert _labels(star.state) == exp
+        assert star.converged
+
+    def test_long_chain_logarithmic_rounds(self, spark):
+        """A 128-vertex path: plain hash-min needs O(n) rounds; the
+        star rewrite must converge in O(log n)."""
+        from kgraph_framework_spark.plans.components import (
+            connected_components_star,
+        )
+
+        chain = [(i, i + 1, 1.0) for i in range(127)]
+        star = connected_components_star(
+            spark, edges_df(spark, chain), max_iters=30
+        )
+        got = _labels(star.state)
+        assert set(got.values()) == {0}
+        assert len(got) == 128
+        assert star.converged
+        assert star.supersteps <= 12, star.supersteps
+
+    def test_random_graph_matches_hashmin(self, spark):
+        from kgraph_framework_spark.plans.components import (
+            connected_components_star,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (int(a), int(b), 1.0)
+            for a, b in rng.integers(0, 200, size=(120, 2))
+            if a != b
+        ]
+        star = connected_components_star(spark, edges_df(spark, rows))
+        hm = connected_components(spark, edges_df(spark, rows))
+        assert _labels(star.state) == _labels(hm.state)
+
+
 class TestLabelPropagation:
     def test_fixed_rounds_match_ref(self, spark):
         sym = _sym(MICRO_EDGES)
@@ -127,3 +171,27 @@ class TestTriangles:
     def test_duplicate_and_reverse_edges_ignored(self, spark):
         noisy = TRI_EDGES + [(2, 1, 1.0), (1, 2, 5.0), (3, 3, 1.0)]
         assert count_triangles(edges_df(spark, noisy)) == 2
+
+    def test_intersection_equals_wedge_path(self, spark):
+        """The sorted-adjacency Arrow-intersection default must agree
+        with the wedge-join formulation exactly."""
+        from kgraph_framework_spark.plans.triangles import (
+            count_triangles_wedge,
+            triangles_per_vertex_wedge,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = []
+        seen = set()
+        for _ in range(300):
+            a, b = map(int, rng.integers(0, 50, 2))
+            if a != b and (min(a, b), max(a, b)) not in seen:
+                seen.add((min(a, b), max(a, b)))
+                rows.append((a, b, 1.0))
+        e = edges_df(spark, rows)
+        assert count_triangles(e) == count_triangles_wedge(e)
+        a = {r["vertex"]: r["triangles"]
+             for r in triangles_per_vertex(e).collect()}
+        b = {r["vertex"]: r["triangles"]
+             for r in triangles_per_vertex_wedge(e).collect()}
+        assert a == b
