@@ -51,9 +51,22 @@ def main() -> None:
     n_edges = timed("edge_derivation", lambda: edges.persist().count())
     extra["n_edges"] = int(n_edges)
 
+    # headline: cost-based engine choice (join below the CSR crossover,
+    # CSR gather-scatter above it — plans/pagerank.CSR_CROSSOVER_EDGES;
+    # at cluster scale the auto choice is always CSR)
+    from kgraph_framework_spark.operators.csr import pagerank_csr
+    from kgraph_framework_spark.plans.pagerank import (
+        CSR_CROSSOVER_EDGES,
+        pagerank_auto,
+    )
+
     pr = timed(
         "pagerank_converged",
-        lambda: pagerank(spark, edges, tol=1e-6, max_iters=40),
+        lambda: pagerank_auto(spark, edges, n_edges=n_edges, tol=1e-6,
+                              max_iters=40),
+    )
+    extra["pagerank_engine"] = (
+        "csr" if n_edges >= CSR_CROSSOVER_EDGES else "join"
     )
     extra["pagerank_supersteps"] = pr.supersteps
     extra["pagerank_converged"] = bool(pr.converged)
@@ -63,11 +76,34 @@ def main() -> None:
         extra["pagerank_sec_per_superstep"] = round(per_step, 3)
         extra["pagerank_edges_per_sec_per_superstep"] = round(n_edges / per_step)
 
+    # the other engine, for the crossover record
+    other = (
+        pagerank if n_edges >= CSR_CROSSOVER_EDGES else
+        (lambda s, e, **kw: pagerank_csr(s, e, **kw))
+    )
+    pro = timed(
+        "pagerank_alt_engine_converged",
+        lambda: other(spark, edges, tol=1e-6, max_iters=40),
+    )
+    osecs = [mt.seconds for mt in pro.metrics]
+    if osecs:
+        extra["pagerank_alt_sec_per_superstep"] = round(
+            sum(osecs) / len(osecs), 3
+        )
+
     cc = timed(
         "components_converged",
         lambda: connected_components(spark, edges, max_iters=60),
     )
     extra["cc_supersteps"] = cc.supersteps
+
+    from kgraph_framework_spark.plans.components import connected_components_star
+
+    ccs = timed(
+        "components_star_converged",
+        lambda: connected_components_star(spark, edges, max_iters=30),
+    )
+    extra["cc_star_supersteps"] = ccs.supersteps
 
     timed("labelprop_5round", lambda: label_propagation(spark, edges, num_iters=5))
     timed("triangles_tools", lambda: count_triangles(tool_cousage_edges(t)))

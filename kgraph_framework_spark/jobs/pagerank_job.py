@@ -33,6 +33,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--hub-threshold", type=int, default=None)
+    ap.add_argument(
+        "--engine", choices=("auto", "csr", "join"), default="auto",
+        help="superstep strategy: csr = Arrow gather-scatter over CSR "
+        "blocks (~35%% faster steady-state at 25M edges, BENCH.md), "
+        "join = relational scatter (supports --hub-threshold), auto = "
+        "cost-based pick by edge count (cluster-scale inputs get csr)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -48,12 +55,29 @@ def main(argv: list[str] | None = None) -> None:
     transcripts = transcripts_from_events(spark, args.events)
     edges = union_graph(transcripts).persist()
     n_edges = edges.count()
-    res = pagerank(
-        spark, edges,
-        damping=args.damping, tol=args.tol, max_iters=args.max_iters,
-        checkpoint_dir=args.checkpoint_dir, partitions=args.partitions,
-        hub_threshold=args.hub_threshold,
-    )
+    if args.engine == "auto":
+        from kgraph_framework_spark.plans.pagerank import pagerank_auto
+
+        res = pagerank_auto(
+            spark, edges, n_edges=n_edges,
+            damping=args.damping, tol=args.tol, max_iters=args.max_iters,
+            checkpoint_dir=args.checkpoint_dir, partitions=args.partitions,
+        )
+    elif args.engine == "csr":
+        from kgraph_framework_spark.operators.csr import pagerank_csr
+
+        res = pagerank_csr(
+            spark, edges,
+            damping=args.damping, tol=args.tol, max_iters=args.max_iters,
+            checkpoint_dir=args.checkpoint_dir, n_parts=args.partitions,
+        )
+    else:
+        res = pagerank(
+            spark, edges,
+            damping=args.damping, tol=args.tol, max_iters=args.max_iters,
+            checkpoint_dir=args.checkpoint_dir, partitions=args.partitions,
+            hub_threshold=args.hub_threshold,
+        )
     res.state.write.mode("overwrite").parquet(args.output)
     wall = time.monotonic() - t0
     step_secs = [m.seconds for m in res.metrics]

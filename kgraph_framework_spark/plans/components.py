@@ -107,11 +107,16 @@ def connected_components_star(
     def post(state: DataFrame, info: dict) -> dict:
         row = state.agg(
             F.count(F.lit(1)).alias("n"),
+            # reduce operands below 2^31 BEFORE multiplying: vertex ids
+            # are 63-bit hashes and ANSI mode faults on long overflow
+            # decimal accumulator: the 2^61-bounded terms overflow a
+            # LONG sum under ANSI mode on big edge sets
             F.sum(
                 F.pmod(
-                    F.col("u") * F.lit(1_099_511_627) + F.col("v"),
+                    F.pmod(F.col("u"), F.lit(1 << 31)) * F.lit(1_099_511_627)
+                    + F.pmod(F.col("v"), F.lit(1 << 31)),
                     F.lit(1 << 61),
-                )
+                ).cast("decimal(38,0)")
             ).alias("h"),
         ).first()
         chk = (row["n"], row["h"])

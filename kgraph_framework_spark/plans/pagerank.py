@@ -33,6 +33,36 @@ from pyspark.sql import functions as F
 from kgraph_framework_spark.plans.pregel import PregelResult, run_supersteps
 
 
+#: measured crossover on local[32]: the CSR gather-scatter superstep
+#: carries ~0.6 s of fixed Arrow/cogroup overhead but 35% lower
+#: per-edge cost — join path wins below ~1M edges (sf0.1: join 1.06
+#: s/step vs CSR 1.70 at 126k edges), CSR wins above (25M edges:
+#: 5.3 vs 8.1 s/step, BENCH.md). At cluster scale CSR is always right.
+CSR_CROSSOVER_EDGES = 1_000_000
+
+
+def pagerank_auto(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_edges: int | None = None,
+    partitions: int | None = None,
+    **kw,
+):
+    """Cost-based physical choice between the two PageRank engines.
+
+    Identical semantics either way (scores allclose 1e-12); the choice
+    is purely physical, like Catalyst picking broadcast vs sort-merge.
+    Pass ``n_edges`` if already known to avoid a count job.
+    """
+    if n_edges is None:
+        n_edges = edges.count()
+    if n_edges >= CSR_CROSSOVER_EDGES:
+        from kgraph_framework_spark.operators.csr import pagerank_csr
+
+        return pagerank_csr(spark, edges, n_parts=partitions, **kw)
+    return pagerank(spark, edges, partitions=partitions, **kw)
+
+
 def _prepare(spark: SparkSession, edges: DataFrame, partitions: int | None):
     e = edges.select(
         F.col("src_vertex").alias("src"),

@@ -251,6 +251,12 @@ def q_knn_ivf(spark, sf_dir):
     return ann_ivf_gate(spark, _emb(spark, sf_dir))
 
 
+def q_doc_skyline(spark, sf_dir):
+    from kgraph_framework_spark.operators.skyline import doc_quality_skyline
+
+    return doc_quality_skyline(_docs(spark, sf_dir))
+
+
 def q_multimodal(spark, sf_dir):
     from kgraph_framework_spark.operators.multimodal import (
         binary_corpus,
@@ -293,4 +299,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "knn_ann_lsh": (q_knn_ann, _quality.lsh_gate_sql()),
     "knn_ann_ivf": (q_knn_ivf, _quality.ivf_gate_sql()),
     "multimodal_features": (q_multimodal, sql_oracle_docs.multimodal_features_sql()),
+    # S8 skyline/domination (reference util.h:40-72) over doc metrics
+    "doc_quality_skyline": (q_doc_skyline, sql_oracle_docs.doc_skyline_sql()),
 }

@@ -199,6 +199,23 @@ SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
 FROM ranked WHERE rn <= {k}"""
 
 
+def doc_skyline_sql() -> str:
+    """Length-vs-cleanliness Pareto frontier via NOT EXISTS dominance —
+    twin of operators/skyline.doc_quality_skyline."""
+    return f"""WITH {TOKS_CTE},
+m AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    CAST(floor(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+         / len(text) * 1000000 + 0.5) AS BIGINT) AS alpha_ppm
+  FROM toks)
+SELECT doc_id, n_tokens, alpha_ppm FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.n_tokens >= a.n_tokens AND b.alpha_ppm >= a.alpha_ppm
+    AND (b.n_tokens > a.n_tokens OR b.alpha_ppm > a.alpha_ppm))"""
+
+
 def multimodal_features_sql() -> str:
     # Byte-exact for non-ASCII text: operate on hex(encode(text)) — the
     # UTF-8 BYTES — never on characters. head_md5 hashes the uppercase

@@ -250,3 +250,37 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             _decode_stub(b"\x89PNG", "image/png")
+
+
+class TestSkyline:
+    def test_hand_checkable_frontier(self, spark):
+        from kgraph_framework_spark.operators.skyline import skyline
+
+        pts = spark.createDataFrame(
+            [(0, 10, 10), (1, 5, 20), (2, 20, 5), (3, 4, 4), (4, 10, 10)],
+            "id long, x long, y long",
+        )
+        got = {r["id"] for r in
+               skyline(pts, maximize=["x", "y"], minimize=[]).collect()}
+        # (4,4) dominated by everything; duplicates (0)/(4) both survive
+        assert got == {0, 1, 2, 4}
+
+    def test_two_phase_equals_bruteforce(self, spark):
+        import numpy as np
+
+        from kgraph_framework_spark.operators.skyline import skyline
+
+        rng = np.random.default_rng(5)
+        rows = [(i, int(a), int(b)) for i, (a, b) in
+                enumerate(rng.integers(0, 50, size=(300, 2)))]
+        df = spark.createDataFrame(rows, "id long, x long, y long").repartition(7)
+        got = {r["id"] for r in
+               skyline(df, maximize=["x"], minimize=["y"]).collect()}
+        exp = {
+            i for i, x, y in rows
+            if not any(
+                (x2 >= x and y2 <= y and (x2 > x or y2 < y))
+                for _, x2, y2 in rows
+            )
+        }
+        assert got == exp

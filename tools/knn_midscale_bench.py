@@ -1,0 +1,181 @@
+"""Mid-scale kNN-graph build benchmark — the reference-comparable point.
+
+The reference's published yardstick is SIFT1M: 1M x 128-d float32,
+50-NN graph at ~90% recall in ~72 s on 8 threads
+(/root/reference/README.md:101-103). The sf0.1 fixture (2k vectors) says
+nothing at that scale — per-superstep fixed overhead dominates. This
+driver builds a kNN graph over 10^5-scale synthetic vectors so the
+vecs/sec figure is honestly comparable (and extrapolable) to the
+reference's number.
+
+Pipeline mirrors the reference's fastest lifecycle (rplsh driver):
+LSH init (recursive CLSH buckets) -> NN-descent refinement — init does
+the heavy candidate generation sub-quadratically, descent converges in
+a few rounds. Recall is evaluated on a deterministic sample of queries
+against exact brute-force truth (the reference's own sampled
+eval_recall, src/index_graph.cpp:209-229).
+
+Data: deterministic clustered vectors from pure JVM arithmetic
+(hash-derived cluster centers + per-id noise) — no external data, no
+driver-side generation, identical at any parallelism.
+
+Usage: python tools/knn_midscale_bench.py [n_vecs] [k] [cores] [iters]
+Appends a section to BENCH.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+import pandas as pd
+
+DIM = 64
+N_CLUSTERS = 256
+N_QUERIES = 200
+
+
+def synth_vectors(spark, n_vecs: int, parts: int):
+    """Clustered deterministic vectors: id -> cluster center + noise."""
+    from pyspark.sql import functions as F
+
+    def u(col, salt):
+        return (
+            F.pmod(col * F.lit(2654435761 + salt * 97), F.lit(1 << 31))
+            / F.lit(float(1 << 31))
+            - F.lit(0.5)
+        )
+
+    cid = F.pmod(F.col("id"), F.lit(N_CLUSTERS))
+    return (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                # center spread ~ noise spread: clusters overlap, so the
+                # kNN structure is non-trivial (recall < 1 is possible)
+                lambda j: (
+                    u(cid * DIM + j, 13) * F.lit(2.0)
+                    + u(F.col("id") * DIM + j, 7) * F.lit(1.5)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .repartition(parts)
+    )
+
+
+def sampled_truth(spark, emb, n_vecs: int, k: int):
+    """Exact top-k for ~N_QUERIES sampled vectors via one broadcast scan.
+
+    Per-partition local top-k inside mapInPandas, global re-top-k after —
+    the two-stage ranking pattern (T1)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    stride = max(1, n_vecs // N_QUERIES)
+    qdf = emb.where(F.col("vec_id") % stride == 0).toPandas()
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    bq = emb.sparkSession.sparkContext.broadcast((qids, q))
+
+    def local_topk(it):
+        qids_, q_ = bq.value
+        qn = (q_ * q_).sum(1)
+        for pdf in it:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            d2 = qn[:, None] - 2.0 * (q_ @ x.T) + (x * x).sum(1)[None, :]
+            kk = min(k + 1, d2.shape[1])
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "src": np.repeat(qids_, kk),
+                "dst": ids[part.ravel()],
+                "dist": np.take_along_axis(d2, part, 1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    cand = emb.mapInPandas(local_topk, schema="src long, dst long, dist double")
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    return (
+        cand.where(F.col("src") != F.col("dst"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("src", "dst")
+    )
+
+
+def main() -> None:
+    n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    iters = int(sys.argv[4]) if len(sys.argv) > 4 else 6
+
+    from kgraph_framework_spark.operators.knn_graph import nn_descent
+    from kgraph_framework_spark.operators.knn_search import lsh_init
+    from kgraph_framework_spark.session import get_spark
+
+    spark = get_spark(
+        f"knn-midscale-{n_vecs}", cores=cores, shuffle_partitions=cores * 2
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = synth_vectors(spark, n_vecs, cores * 2).persist()
+    emb.count()
+
+    t0 = time.monotonic()
+    init = lsh_init(emb, k=k, n_tables=4, max_bucket=128, n=n_vecs)
+    graph, metrics = nn_descent(
+        spark, emb, k=k, max_iters=iters, init=init
+    )
+    graph = graph.persist()
+    n_edges = graph.count()
+    wall = time.monotonic() - t0
+
+    truth = sampled_truth(spark, emb, n_vecs, k)
+    hits = graph.select("src", "dst").join(
+        truth, ["src", "dst"], "left_semi"
+    ).count()
+    total = truth.count()
+    recall = hits / max(total, 1)
+
+    result = {
+        "n_vecs": n_vecs,
+        "dim": DIM,
+        "k": k,
+        "cores": cores,
+        "wall_sec": round(wall, 1),
+        "vecs_per_sec": round(n_vecs / wall),
+        "rounds": len(metrics),
+        "n_edges": n_edges,
+        "sampled_recall": round(recall, 4),
+        "sample_queries": total // k,
+    }
+    print(json.dumps(result))
+    md = f"""
+## Mid-scale kNN-graph build ({n_vecs:,} x {DIM}-d, local[{cores}])
+
+LSH(CLSH) init + NN-descent ({result['rounds']} rounds), k={k}; sampled
+recall vs exact brute-force over {result['sample_queries']} queries
+(tools/knn_midscale_bench.py, deterministic clustered vectors).
+
+| n_vecs | wall (s) | vecs/sec | recall |
+|---|---|---|---|
+| {n_vecs:,} | {result['wall_sec']} | {result['vecs_per_sec']:,} | {result['sampled_recall']} |
+
+Reference yardstick: SIFT1M (1M x 128-d) 50-NN ~90% recall in ~72 s on
+8 threads (README.md:101-103) ≈ 13.9k vecs/sec.
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
+        fh.write(md)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
