@@ -38,7 +38,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kgraph_framework_spark.operators.knn_graph import _hash_order, _score_pairs
+from kgraph_framework_spark.operators.knn_graph import (
+    _hash_order,
+    _score_pairs,
+    broadcast_matrix,
+)
 from kgraph_framework_spark.plans.pregel import release_state, truncate_state
 
 SPLIT_SCHEMA = (
@@ -323,6 +327,7 @@ def kdtree_init(
     from kgraph_framework_spark.operators.knn_search import pad_to_k
 
     e = emb.select("vec_id", "embedding").persist()
+    bc = broadcast_matrix(e)
     leaves, splits = build_kdtree_forest(
         spark, e, n_trees=n_trees, leaf_size=leaf_size, seed=seed
     )
@@ -350,7 +355,7 @@ def kdtree_init(
     )
     pairs = leaf_pairs.unionByName(routed_pairs).distinct()
 
-    scored = _score_pairs(pairs, e)
+    scored = _score_pairs(pairs, e, bc)
     sym = scored.unionByName(
         scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "dist")
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
@@ -360,7 +365,7 @@ def kdtree_init(
         .where(F.col("rn") <= k)
         .select("src", "dst", "dist", F.lit(True).alias("is_new"))
     )
-    pool = pad_to_k(pool, e, k, seed=seed + 7)
+    pool = pad_to_k(pool, e, k, seed=seed + 7, bc=bc)
     leaves.unpersist()
     e.unpersist()
     return pool

@@ -129,15 +129,69 @@ def random_init(emb: DataFrame, k: int, seed: int = 42) -> DataFrame:
     )
 
 
-def _score_pairs(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+#: corpora whose float32 matrix fits under this are broadcast to
+#: executors and scored WITHOUT the two embedding joins — the Spark
+#: analog of the reference holding `data_` in RAM. Auto-disabled above
+#: the cap (100-TB corpora always take the join path).
+SCORE_BROADCAST_BYTES = 512 << 20
+
+
+def broadcast_matrix(emb: DataFrame, limit_bytes: int = SCORE_BROADCAST_BYTES):
+    """Broadcast (sorted ids, float32 matrix) when small enough, else None.
+
+    One scan; the matrix rides to executors once per build instead of
+    shuffling per candidate pair each round. Distances computed from it
+    are bit-identical to the join path (same float32 storage, same
+    float64 arithmetic).
+    """
+    row = emb.select(
+        F.count(F.lit(1)).alias("n"), F.min(F.size("embedding")).alias("d")
+    ).first()
+    n, d = int(row["n"] or 0), int(row["d"] or 0)
+    if n == 0 or n * d * 4 > limit_bytes:
+        return None
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    order = np.argsort(ids, kind="stable")
+    return emb.sparkSession.sparkContext.broadcast((ids[order], X[order]))
+
+
+def _score_pairs(pairs: DataFrame, emb: DataFrame, bc=None) -> DataFrame:
     """Exact squared-L2 for (a, b) pairs via an Arrow-batched kernel.
 
     The distance kernel as a vectorized UDF — the Spark analog of the
     reference's pluggable Distance::compare strategy
     (/root/reference/include/commom/distance.h:17-21), with numpy/BLAS
     playing the AVX role (SURVEY.md §2.2 K1).
+
+    With ``bc`` (a :func:`broadcast_matrix` handle) the embeddings are
+    gathered locally by binary search into the broadcast matrix — a
+    narrow map over the pairs, no embedding shuffle. Without it, two
+    co-partitioned joins against the vector table gather the operands.
     """
     from pyspark.sql.functions import pandas_udf
+
+    if bc is not None:
+
+        def score_local(it):
+            ids, X = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                a = pdf["a"].to_numpy(np.int64)
+                b = pdf["b"].to_numpy(np.int64)
+                da = X[np.searchsorted(ids, a)].astype(np.float64)
+                db = X[np.searchsorted(ids, b)].astype(np.float64)
+                diff = da - db
+                yield pd.DataFrame(
+                    {"a": a, "b": b,
+                     "dist": np.einsum("ij,ij->i", diff, diff)}
+                )
+
+        return pairs.select("a", "b").mapInPandas(
+            score_local, schema="a long, b long, dist double"
+        )
 
     @pandas_udf("double")
     def l2sq(xa, xb):
@@ -195,11 +249,12 @@ def nn_descent(
         s = max(3, (3 * k) // 2)
     emb = emb.select("vec_id", "embedding").persist()
     n_edges_target = None
+    bc = broadcast_matrix(emb)
 
     pool = init if init is not None else random_init(emb, k, seed)
     # score the init (reference scores on first refine pass)
     scored = _score_pairs(
-        pool.select(F.col("src").alias("a"), F.col("dst").alias("b")), emb
+        pool.select(F.col("src").alias("a"), F.col("dst").alias("b")), emb, bc
     )
     pool = scored.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "dist",
@@ -267,7 +322,7 @@ def nn_descent(
                 .select("a", "b")
             )
 
-        scored = _score_pairs(pairs, emb)
+        scored = _score_pairs(pairs, emb, bc)
         sym = scored.unionByName(
             scored.select(
                 F.col("b").alias("a"), F.col("a").alias("b"), "dist"
@@ -320,6 +375,8 @@ def nn_descent(
         .where(F.col("rn") <= k)
         .select("src", "dst", "dist")
     )
+    if bc is not None:
+        bc.unpersist()  # non-destructive: re-ships lazily if re-referenced
     emb.unpersist()
     return graph, metrics
 

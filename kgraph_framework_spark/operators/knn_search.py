@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from kgraph_framework_spark.operators.knn_graph import (
     _hash_order,
     _score_pairs,
+    broadcast_matrix,
     id_index,
     id_stats,
 )
@@ -276,7 +277,7 @@ def bucket_pairs(buckets: DataFrame, max_bucket: int | None = None) -> DataFrame
 
 
 def pad_to_k(
-    pool: DataFrame, emb: DataFrame, k: int, seed: int = 4242
+    pool: DataFrame, emb: DataFrame, k: int, seed: int = 4242, bc=None
 ) -> DataFrame:
     """Pad vertices with < k pool entries up to k with scored random ids.
 
@@ -296,7 +297,7 @@ def pad_to_k(
     # existing pool are deduped by the groupBy below)
     rand = random_init(emb, k=2 * k, seed=seed).join(need, "src", "left_semi")
     scored = _score_pairs(
-        rand.select(F.col("src").alias("a"), F.col("dst").alias("b")), emb
+        rand.select(F.col("src").alias("a"), F.col("dst").alias("b")), emb, bc
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
     merged = (
         pool.select("src", "dst", "dist")
@@ -321,6 +322,7 @@ def lsh_init(
     max_bucket: int = 200,
     n: int | None = None,
     return_buckets: bool = False,
+    bc=None,
 ):
     """RP-LSH candidate init: within-bucket all-pairs, top-K per vertex.
 
@@ -340,9 +342,11 @@ def lsh_init(
         if n is None:
             n = emb.count()
         bits = adaptive_bits(n, target_bucket=64)
+    if bc is None:
+        bc = broadcast_matrix(emb)
     buckets = clsh_buckets(emb, bits, n_tables, seed, max_bucket)
     pairs = bucket_pairs(buckets)
-    scored = _score_pairs(pairs, emb)
+    scored = _score_pairs(pairs, emb, bc)
     sym = scored.unionByName(
         scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "dist")
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
@@ -352,7 +356,7 @@ def lsh_init(
         .where(F.col("rn") <= k)
         .select("src", "dst", "dist", F.lit(True).alias("is_new"))
     )
-    pool = pad_to_k(pool, emb, k, seed=seed + 7)
+    pool = pad_to_k(pool, emb, k, seed=seed + 7, bc=bc)
     if return_buckets:
         return pool, buckets
     return pool
