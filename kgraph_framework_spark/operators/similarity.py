@@ -40,16 +40,33 @@ def _as_double(col):
     return col.cast("array<double>")
 
 
+MAX_EXACT_QUERIES = 4096
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
+    max_queries: int = MAX_EXACT_QUERIES,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, rank, neighbor_id, sim_ppm).
 
     ``queries`` is (query_id, q_emb array<float>); broadcast against the
     corpus. Ties broken by neighbor_id asc; self-matches excluded.
+
+    This is the EXACT oracle path: one full corpus scan per query
+    batch, O(n_queries × N × d). The query side must stay broadcast-
+    small — a large query set silently degrades into an all-pairs scan,
+    so it is guarded (``max_queries``; raise it deliberately or batch
+    the callers). Use the ANN paths for large query sets.
     """
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"cosine_topk is the exact broadcast oracle; got > "
+            f"{max_queries} queries — batch them or use ann_lsh_topk/"
+            f"ivf_topk for large query sets"
+        )
     q = F.broadcast(
         queries.select(
             "query_id", _as_double(F.col("q_emb")).alias("qe")
@@ -157,6 +174,7 @@ def ivf_topk(
     nlist: int | None = None,
     nprobe: int = 8,
     seed: int = ANN_SEED,
+    n: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: KMeans coarse quantizer + nprobe lists.
 
@@ -179,7 +197,8 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
 
     spark = emb.sparkSession
-    n = emb.count()
+    if n is None:
+        n = emb.count()
     if nlist is None:
         nlist = max(4, int(np.sqrt(n)))
     train = emb.select(array_to_vector(F.col("embedding")).alias("features"))
