@@ -154,6 +154,48 @@ def kdtree_gate(
     )
 
 
+def lsh_nndescent_gate(
+    spark: SparkSession, emb: DataFrame, k: int = 10, max_iters: int = 3
+) -> DataFrame:
+    """CLSH init -> NN-descent with cross-table same-bucket exclusion —
+    the reference's rplsh driver lifecycle E3
+    (/root/reference/tests/rplsh_buildall_and_evaluate.cpp:55-133,
+    SetInBuckets handoff :112-115), gated on recall."""
+    from kgraph_framework_spark.operators.knn_graph import (
+        knn_bruteforce_l2,
+        nn_descent,
+    )
+    from kgraph_framework_spark.operators.knn_search import (
+        bucket_pairs,
+        lsh_init,
+    )
+
+    pool, buckets = lsh_init(emb, k=k, return_buckets=True)
+    excl = bucket_pairs(buckets)
+    graph, _metrics = nn_descent(
+        spark, emb, k=k, max_iters=max_iters, init=pool, exclude_pairs=excl
+    )
+    truth = knn_bruteforce_l2(emb, k=k)
+    return _gate_row(
+        graph.select("src", "dst"),
+        truth,
+        ["src", "dst"],
+        "clsh+nndescent",
+        F.countDistinct("src"),
+        k,
+        KDTREE_FLOOR_PPM,
+    )
+
+
+def lsh_nndescent_gate_sql(k: int = 10) -> str:
+    return f"""SELECT 'clsh+nndescent' AS algo,
+  CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST({k} AS BIGINT) AS k,
+  CAST({KDTREE_FLOOR_PPM} AS BIGINT) AS floor_ppm,
+  CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings"""
+
+
 def kdtree_gate_sql(k: int = 10) -> str:
     return f"""SELECT 'kdtree+nndescent' AS algo,
   CAST(COUNT(*) AS BIGINT) AS n_queries,

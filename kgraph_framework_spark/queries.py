@@ -156,6 +156,14 @@ def q_knn_graph_kdtree(spark, sf_dir):
     return kdtree_gate(spark, emb, k=10, max_iters=4)
 
 
+def q_knn_graph_lsh(spark, sf_dir):
+    """CLSH initializer lifecycle gate (reference rplsh driver, E3)."""
+    from kgraph_framework_spark.quality import lsh_nndescent_gate
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return lsh_nndescent_gate(spark, emb, k=10, max_iters=3)
+
+
 def q_tool_cousage(spark, sf_dir):
     return tool_cousage_edges(_transcripts(spark, sf_dir)).select(
         "src_vertex", "dst_vertex", "weight"
@@ -283,6 +291,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "knn_graph_nndescent": (q_knn_graph, _quality.nndescent_gate_sql()),
     # KD-forest init -> NN-descent: the reference kdtree driver (E2)
     "knn_graph_kdtree": (q_knn_graph_kdtree, _quality.kdtree_gate_sql()),
+    # CLSH init -> NN-descent with same-bucket skip: rplsh driver (E3)
+    "knn_graph_lsh": (q_knn_graph_lsh, _quality.lsh_nndescent_gate_sql()),
     "components_4round": (q_components, sql_oracle.cc_sql(CC_ROUNDS)),
     "labelprop_2round": (q_labelprop, sql_oracle.labelprop_sql(LP_ROUNDS)),
     "tool_cousage": (q_tool_cousage, sql_oracle.tool_cousage_sql()),
