@@ -134,6 +134,12 @@ def random_init(emb: DataFrame, k: int, seed: int = 42) -> DataFrame:
 #: analog of the reference holding `data_` in RAM. Auto-disabled above
 #: the cap (100-TB corpora always take the join path).
 SCORE_BROADCAST_BYTES = 512 << 20
+#: ...and below this vector count the join path wins instead: the
+#: saved embedding shuffle is tiny while the extra mapInPandas stage
+#: per scoring call costs a fixed ~0.5-1 s (measured at 2k vecs:
+#: broadcast 46 s vs join 38 s for a 10-round build; at 100k vecs
+#: broadcast is 1.6x FASTER — BENCH.md).
+SCORE_BROADCAST_MIN_VECS = 10_000
 
 
 def broadcast_matrix(emb: DataFrame, limit_bytes: int = SCORE_BROADCAST_BYTES):
@@ -148,7 +154,7 @@ def broadcast_matrix(emb: DataFrame, limit_bytes: int = SCORE_BROADCAST_BYTES):
         F.count(F.lit(1)).alias("n"), F.min(F.size("embedding")).alias("d")
     ).first()
     n, d = int(row["n"] or 0), int(row["d"] or 0)
-    if n == 0 or n * d * 4 > limit_bytes:
+    if n < SCORE_BROADCAST_MIN_VECS or n * d * 4 > limit_bytes:
         return None
     pdf = emb.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy(np.int64)
