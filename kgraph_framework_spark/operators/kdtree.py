@@ -359,13 +359,15 @@ def kdtree_init(
     sym = scored.unionByName(
         scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "dist")
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
-    w = Window.partitionBy("src").orderBy("dist", "dst")
-    pool = (
-        sym.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("src", "dst", "dist", F.lit(True).alias("is_new"))
+    from kgraph_framework_spark.operators.nnd_fused import topk_per_src
+
+    # materialize pre-pad: pad_to_k + the descent's init scoring would
+    # otherwise re-execute the leaf/routed joins per reference
+    pre = truncate_state(
+        spark, topk_per_src(sym, k).withColumn("is_new", F.lit(True))
     )
-    pool = pad_to_k(pool, e, k, seed=seed + 7, bc=bc)
+    pool = truncate_state(spark, pad_to_k(pre, e, k, seed=seed + 7, bc=bc))
+    release_state(pre)
     leaves.unpersist()
     e.unpersist()
     return pool

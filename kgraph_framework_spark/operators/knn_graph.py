@@ -142,19 +142,26 @@ SCORE_BROADCAST_BYTES = 512 << 20
 SCORE_BROADCAST_MIN_VECS = 10_000
 
 
-def broadcast_matrix(emb: DataFrame, limit_bytes: int = SCORE_BROADCAST_BYTES):
+def broadcast_matrix(
+    emb: DataFrame,
+    limit_bytes: int = SCORE_BROADCAST_BYTES,
+    min_vecs: int = SCORE_BROADCAST_MIN_VECS,
+):
     """Broadcast (sorted ids, float32 matrix) when small enough, else None.
 
     One scan; the matrix rides to executors once per build instead of
     shuffling per candidate pair each round. Distances computed from it
     are bit-identical to the join path (same float32 storage, same
-    float64 arithmetic).
+    float64 arithmetic). ``min_vecs`` keeps pure-scoring callers on the
+    join path below the measured crossover; the fused NN-descent loop
+    passes ``min_vecs=1`` because its kernels score in place (the fixed
+    mapInPandas-stage cost that motivated the floor doesn't apply).
     """
     row = emb.select(
         F.count(F.lit(1)).alias("n"), F.min(F.size("embedding")).alias("d")
     ).first()
     n, d = int(row["n"] or 0), int(row["d"] or 0)
-    if n < SCORE_BROADCAST_MIN_VECS or n * d * 4 > limit_bytes:
+    if n < min_vecs or n * d * 4 > limit_bytes:
         return None
     pdf = emb.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy(np.int64)
@@ -226,6 +233,7 @@ def nn_descent(
     seed: int = 42,
     init: DataFrame | None = None,
     exclude_pairs: DataFrame | None = None,
+    mode: str = "auto",
 ) -> tuple[DataFrame, list[dict]]:
     """Refine an initial candidate graph into a kNN graph.
 
@@ -248,6 +256,12 @@ def nn_descent(
     tests/rplsh_buildall_and_evaluate.cpp:112-115). Their init-time
     distances are already in the pool, so the result is unchanged —
     only redundant distance evaluations are dropped.
+
+    ``mode``: "auto" runs the FUSED superstep loop (operators/nnd_fused —
+    3 grouped Arrow kernels per round) whenever the corpus matrix fits in
+    a broadcast, else the join-based loop below; "join" forces the
+    join path (the 100-TB shape, also used to test it at small N);
+    "fused" asserts the broadcast fits.
     """
     if l is None:
         l = 3 * k
@@ -255,7 +269,28 @@ def nn_descent(
         s = max(3, (3 * k) // 2)
     emb = emb.select("vec_id", "embedding").persist()
     n_edges_target = None
-    bc = broadcast_matrix(emb)
+    bc = None
+    if mode in ("auto", "fused"):
+        bc = broadcast_matrix(emb, min_vecs=1)
+    if mode == "fused" and bc is None:
+        raise ValueError("mode='fused' but corpus exceeds broadcast cap")
+    if bc is not None:
+        from kgraph_framework_spark.operators.nnd_fused import nn_descent_fused
+
+        pool, metrics = nn_descent_fused(
+            spark, emb, bc, k=k, l=l, s=s, max_iters=max_iters,
+            min_update_rate=min_update_rate, seed=seed, init=init,
+            exclude_pairs=exclude_pairs,
+        )
+        wk = Window.partitionBy("src").orderBy("dist", "dst")
+        graph = (
+            pool.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") <= k)
+            .select("src", "dst", "dist")
+        )
+        bc.unpersist()
+        emb.unpersist()
+        return graph, metrics
 
     pool = init if init is not None else random_init(emb, k, seed)
     # score the init (reference scores on first refine pass)

@@ -197,6 +197,10 @@ def clsh_buckets(
             code(F.col("embedding").cast("array<double>")).alias("code"),
         )
         tagged = b if tagged is None else tagged.unionByName(b)
+    # materialize once: ``tagged`` is referenced by both the settle-depth
+    # aggregate and the final join — without this the Gaussian-projection
+    # matmul re-runs per reference (measured 3x at 20k vecs)
+    tagged = truncate_state(emb.sparkSession, tagged)
 
     # NOTE: lsh_code_udf packs bit j of plane j at weight 2^j, so the
     # "leading" bits of the conceptual prefix are the LOW bits of the
@@ -344,21 +348,32 @@ def lsh_init(
         bits = adaptive_bits(n, target_bucket=64)
     if bc is None:
         bc = broadcast_matrix(emb)
-    buckets = clsh_buckets(emb, bits, n_tables, seed, max_bucket)
-    pairs = bucket_pairs(buckets)
+    spark = emb.sparkSession
+    buckets = truncate_state(spark, clsh_buckets(emb, bits, n_tables, seed, max_bucket))
+    # guard the self-join against buckets that settled at the depth floor
+    # still above the cap (duplicate/near-identical vectors give identical
+    # codes across ALL hyperplanes — the reference escapes via its
+    # 10-repeat rehash, src/index_lsh.cpp:654-659); skipped vertices are
+    # covered by pad_to_k below
+    pairs = bucket_pairs(buckets, max_bucket=4 * max_bucket)
     scored = _score_pairs(pairs, emb, bc)
     sym = scored.unionByName(
         scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "dist")
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
-    w = Window.partitionBy("src").orderBy("dist", "dst")
-    pool = (
-        sym.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("src", "dst", "dist", F.lit(True).alias("is_new"))
+    from kgraph_framework_spark.operators.nnd_fused import topk_per_src
+
+    # materialize the pre-pad pool: pad_to_k references it three times and
+    # the descent's init-scoring pass once more — without this the whole
+    # bucket-join DAG re-executes per reference (the 20k-vec bench spent
+    # 177 s in lsh_init, ~5x the one-shot cost)
+    pre = truncate_state(
+        spark, topk_per_src(sym, k).withColumn("is_new", F.lit(True))
     )
-    pool = pad_to_k(pool, emb, k, seed=seed + 7, bc=bc)
+    pool = truncate_state(spark, pad_to_k(pre, emb, k, seed=seed + 7, bc=bc))
+    release_state(pre)
     if return_buckets:
         return pool, buckets
+    release_state(buckets)
     return pool
 
 

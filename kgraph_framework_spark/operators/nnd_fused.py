@@ -1,0 +1,474 @@
+"""Fused NN-descent supersteps: three grouped Arrow kernels per round.
+
+Reference: the NN-descent iteration (/root/reference/src/index_graph.cpp:
+139-190) keeps per-vertex neighbor pools in RAM and mutates them in place.
+The round-2 Spark translation ran each sub-step (sample, reverse, local
+join, score, merge, re-topL, flag maintenance) as its own chain of wide
+DataFrame ops — ~8 shuffles and 3 actions per superstep, measured ~24x
+slower per vector than the reference's published SIFT1M build. This module
+collapses one superstep into THREE ``applyInPandas`` kernels over hash
+blocks of vertices (the CSR-block pattern from operators/csr.py):
+
+  1. sample  : pool rows grouped by block(src) -> S new + S old samples
+               per vertex (reference update() sampling,
+               src/index_graph.cpp:62-77), each emitted twice — forward
+               keyed by src, reverse keyed by dst.
+  2. pairgen : samples grouped by block(key) -> reservoir-cap the reverse
+               lists at S per flag (:78-113), build per-vertex new/old
+               lists, generate new x new (a<b) + new x old candidate
+               pairs (join(), :20-45; neighbor.h:86-98), block-dedupe
+               canonical pairs, score them IN PLACE against the broadcast
+               float32 matrix (no embedding join), and pre-cap candidates
+               per target at L (map-side combine). One shuffle carries
+               scored candidates.
+  3. merge   : cogroup(pool, candidates) by block -> min-dist dedupe,
+               per-vertex top-L (the nhood pool re-aggregation,
+               include/commom/neighbor.h:39-99), flag maintenance
+               (sampled-new entries cleared, :88-111), fresh-insert
+               counting for the convergence rate (:172-173).
+
+Every per-vertex operation is a segmented numpy op over the block's rows
+(sort + boundary detection), never a per-row Python loop; scoring is
+chunked einsum over gathers from the broadcast matrix — bit-identical
+distances to knn_graph._score_pairs (same float32 storage, float64
+arithmetic). Requires the corpus matrix to fit in a broadcast
+(knn_graph.SCORE_BROADCAST_BYTES); corpora above the cap — the 100-TB
+path — use the join-based supersteps in knn_graph.nn_descent, whose
+embedding gathers shuffle instead. Candidate volume per round is the same
+N*O(S^2) either way; the reverse reservoir cap is the skew bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgraph_framework_spark.plans.pregel import release_state, truncate_state
+
+SAMPLE_SCHEMA = "blk int, key long, nbr long, is_new boolean, fwd boolean"
+CAND_SCHEMA = "blk int, src long, dst long, dist double, clear boolean"
+MERGE_SCHEMA = "src long, dst long, dist double, is_new boolean, fresh boolean"
+
+#: exclusion sets (init-compared pairs) above this row count are not
+#: collected/broadcast — skipping exclusion only re-scores pairs whose
+#: (deterministic) distances are already in the pool, so results are
+#: unchanged; the guard bounds driver memory.
+EXCL_COLLECT_CAP = 5_000_000
+
+_SCORE_CHUNK = 1 << 18  # pairs per einsum chunk: 2 * 256Ki * dim * 8B live
+
+
+def _hash_np(first, *rest):
+    """Numpy twin of knn_graph._hash_order — MUST stay in lockstep
+    (tests/test_nnd_fused.py asserts SQL/numpy equality)."""
+    first = np.asarray(first, np.int64)
+    h = np.full(first.shape, 146959810393, dtype=np.int64)
+    for c in (first, *rest):
+        c = np.asarray(c, np.int64)
+        h = ((h % (1 << 31)) * 1_099_511_627 + (c % (1 << 31))) % (1 << 61)
+    return h
+
+
+def blk_col(col, n_blocks: int):
+    """SQL-side block assignment; _blk_np is its numpy twin."""
+    from kgraph_framework_spark.operators.knn_graph import _hash_order
+
+    return F.pmod(_hash_order(col), F.lit(n_blocks)).cast("int")
+
+
+def _blk_np(ids, n_blocks: int):
+    return (_hash_np(ids) % n_blocks).astype(np.int32)
+
+
+def _ranks(change: np.ndarray) -> np.ndarray:
+    """Rank within runs; change[i]=True marks the start of a new group."""
+    n = change.size
+    if n == 0:
+        return np.empty(0, np.int64)
+    starts = np.flatnonzero(change)
+    reps = np.diff(np.append(starts, n))
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, reps)
+
+
+def _pack2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a, b) int64 pairs as 16-byte keys whose BYTE order equals the
+    numeric lexicographic order (big-endian; ids are non-negative)."""
+    out = np.empty(a.size, dtype=[("a", ">i8"), ("b", ">i8")])
+    out["a"], out["b"] = a, b
+    return out.view("V16").ravel()
+
+
+def _unpack2(pk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    rec = pk.view([("a", ">i8"), ("b", ">i8")])
+    return rec["a"].astype(np.int64), rec["b"].astype(np.int64)
+
+
+def _member(sorted_pack: np.ndarray, q: np.ndarray) -> np.ndarray:
+    if sorted_pack.size == 0 or q.size == 0:
+        return np.zeros(q.size, bool)
+    idx = np.searchsorted(sorted_pack, q)
+    ok = idx < sorted_pack.size
+    return ok & (sorted_pack[np.where(ok, idx, 0)] == q)
+
+
+def _empty(schema_cols: dict) -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: pd.Series(dtype=t) for c, t in schema_cols.items()}
+    )
+
+
+_SAMPLE_COLS = {"blk": "int32", "key": "int64", "nbr": "int64",
+                "is_new": "bool", "fwd": "bool"}
+_CAND_COLS = {"blk": "int32", "src": "int64", "dst": "int64",
+              "dist": "float64", "clear": "bool"}
+_MERGE_COLS = {"src": "int64", "dst": "int64", "dist": "float64",
+               "is_new": "bool", "fresh": "bool"}
+
+
+def topk_per_src(
+    df: DataFrame, k: int, n_blocks: int | None = None
+) -> DataFrame:
+    """Per-src top-k of (src, dst, dist) by (dist, dst) — block kernel.
+
+    Replaces ``row_number() over (partition by src order by dist, dst)``:
+    same result, but the sort is a segmented numpy lexsort inside one
+    grouped-Arrow stage over hash blocks of vertices instead of a
+    sort-based window over per-vertex partitions. min-dist dedupe of
+    repeated (src, dst) rows is folded in (windows needed a separate
+    groupBy for that).
+    """
+    spark = df.sparkSession
+    B = n_blocks or spark.sparkContext.defaultParallelism
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _empty(
+                {"src": "int64", "dst": "int64", "dist": "float64"}
+            )
+        s = pdf["src"].to_numpy(np.int64)
+        d = pdf["dst"].to_numpy(np.int64)
+        dist = pdf["dist"].to_numpy(np.float64)
+        # min-dist dedupe needs (src, dst)-sorted adjacency first
+        o = np.lexsort((dist, d, s))
+        s, d, dist = s[o], d[o], dist[o]
+        dup = np.r_[False, (s[1:] == s[:-1]) & (d[1:] == d[:-1])]
+        s, d, dist = s[~dup], d[~dup], dist[~dup]
+        o = np.lexsort((d, dist, s))
+        s, d, dist = s[o], d[o], dist[o]
+        keep = _ranks(np.r_[True, s[1:] != s[:-1]]) < k
+        return pd.DataFrame({"src": s[keep], "dst": d[keep],
+                             "dist": dist[keep]})
+
+    return (
+        df.select(blk_col(F.col("src"), B).alias("blk"), "src", "dst", "dist")
+        .groupBy("blk")
+        .applyInPandas(lambda p: fn(p), "src long, dst long, dist double")
+    )
+
+
+def _sample_kernel(s: int, seed: int, n_blocks: int):
+    """Stage 1: per-vertex S new + S old samples, emitted fwd + rev."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _empty(_SAMPLE_COLS)
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        new = pdf["is_new"].to_numpy(bool)
+        hk = _hash_np(dst, seed)
+        order = np.lexsort((hk, new, src))
+        src_s, dst_s, new_s = src[order], dst[order], new[order]
+        change = np.empty(order.size, bool)
+        change[0] = True
+        change[1:] = (src_s[1:] != src_s[:-1]) | (new_s[1:] != new_s[:-1])
+        keep = _ranks(change) < s
+        ks, kd, kn = src_s[keep], dst_s[keep], new_s[keep]
+        key = np.concatenate([ks, kd])
+        nbr = np.concatenate([kd, ks])
+        isn = np.concatenate([kn, kn])
+        fwd = np.concatenate(
+            [np.ones(ks.size, bool), np.zeros(ks.size, bool)]
+        )
+        return pd.DataFrame(
+            {"blk": _blk_np(key, n_blocks), "key": key, "nbr": nbr,
+             "is_new": isn, "fwd": fwd}
+        )
+
+    return fn
+
+
+def _pairgen_kernel(s: int, l: int, seed: int, n_blocks: int, bc, excl_bc):
+    """Stage 2: reverse cap + local join + in-place scoring + target cap."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _empty(_CAND_COLS)
+        key = pdf["key"].to_numpy(np.int64)
+        nbr = pdf["nbr"].to_numpy(np.int64)
+        new = pdf["is_new"].to_numpy(bool)
+        fwd = pdf["fwd"].to_numpy(bool)
+
+        # reverse reservoir cap at S per (vertex, flag) — J8
+        ridx = np.flatnonzero(~fwd)
+        kept_rev = np.empty(0, np.int64)
+        if ridx.size:
+            hk = _hash_np(nbr[ridx], seed)
+            ro = np.lexsort((hk, new[ridx], key[ridx]))
+            rs = ridx[ro]
+            change = np.empty(rs.size, bool)
+            change[0] = True
+            change[1:] = (key[rs][1:] != key[rs][:-1]) | (
+                new[rs][1:] != new[rs][:-1]
+            )
+            kept_rev = rs[_ranks(change) < s]
+        kept = np.concatenate([np.flatnonzero(fwd), kept_rev])
+        k2, n2, new2 = key[kept], nbr[kept], new[kept]
+
+        # dedupe (vertex, nbr, flag)
+        o = np.lexsort((new2, n2, k2))
+        k2, n2, new2 = k2[o], n2[o], new2[o]
+        if k2.size:
+            dup = (
+                (k2[1:] == k2[:-1]) & (n2[1:] == n2[:-1])
+                & (new2[1:] == new2[:-1])
+            )
+            um = np.r_[True, ~dup]
+            k2, n2, new2 = k2[um], n2[um], new2[um]
+
+        verts, vcode = np.unique(k2, return_inverse=True)
+        nv = verts.size
+
+        def padded(mask: np.ndarray) -> np.ndarray:
+            c, v = vcode[mask], n2[mask]
+            if c.size == 0:
+                return np.full((nv, 0), -1, np.int64)
+            ch = np.r_[True, c[1:] != c[:-1]]
+            r = _ranks(ch)
+            M = np.full((nv, int(r.max()) + 1), -1, np.int64)
+            M[c, r] = v
+            return M
+
+        MN, MO = padded(new2), padded(~new2)
+        wn, wo = MN.shape[1], MO.shape[1]
+        pa, pb = [], []
+        if wn >= 2:  # new x new, a<b once via upper triangle
+            iu, iv = np.triu_indices(wn, 1)
+            A, B = MN[:, iu].ravel(), MN[:, iv].ravel()
+            m = (A >= 0) & (B >= 0)
+            pa.append(A[m])
+            pb.append(B[m])
+        if wn >= 1 and wo >= 1:  # new x old
+            A = np.repeat(MN, wo, axis=1).ravel()
+            B = np.tile(MO, (1, wn)).ravel()
+            m = (A >= 0) & (B >= 0) & (A != B)
+            pa.append(A[m])
+            pb.append(B[m])
+
+        frames = []
+        if pa:
+            a = np.concatenate(pa)
+            b = np.concatenate(pb)
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            su = np.unique(_pack2(lo, hi))  # block-level canonical dedupe
+            if excl_bc is not None and su.size:
+                su = su[~_member(excl_bc.value, su)]
+            lo, hi = _unpack2(su)
+            ids, X = bc.value
+            dists = np.empty(lo.size, np.float64)
+            for i in range(0, lo.size, _SCORE_CHUNK):
+                sl = slice(i, min(i + _SCORE_CHUNK, lo.size))
+                da = X[np.searchsorted(ids, lo[sl])].astype(np.float64)
+                db = X[np.searchsorted(ids, hi[sl])].astype(np.float64)
+                d = da - db
+                dists[sl] = np.einsum("ij,ij->i", d, d)
+            # symmetric insert targets, pre-capped at L per target
+            t = np.concatenate([lo, hi])
+            tn = np.concatenate([hi, lo])
+            td = np.concatenate([dists, dists])
+            o2 = np.lexsort((tn, td, t))
+            t, tn, td = t[o2], tn[o2], td[o2]
+            ch = np.r_[True, t[1:] != t[:-1]]
+            kp = _ranks(ch) < l
+            t, tn, td = t[kp], tn[kp], td[kp]
+            frames.append((t, tn, td, np.zeros(t.size, bool)))
+
+        fm = fwd & new  # sampled-new forward entries: clear their flags
+        if fm.any():
+            frames.append(
+                (key[fm], nbr[fm], np.zeros(fm.sum()), np.ones(fm.sum(), bool))
+            )
+        if not frames:
+            return _empty(_CAND_COLS)
+        osrc = np.concatenate([f[0] for f in frames])
+        odst = np.concatenate([f[1] for f in frames])
+        odist = np.concatenate([f[2] for f in frames])
+        oclear = np.concatenate([f[3] for f in frames])
+        return pd.DataFrame(
+            {"blk": _blk_np(osrc, n_blocks), "src": osrc, "dst": odst,
+             "dist": odist, "clear": oclear}
+        )
+
+    return fn
+
+
+def _merge_kernel(l: int):
+    """Stage 3: pool ∪ candidates -> min-dedupe, top-L, flags, fresh."""
+
+    def fn(pool_pdf: pd.DataFrame, cand_pdf: pd.DataFrame) -> pd.DataFrame:
+        ps = pool_pdf["src"].to_numpy(np.int64) if len(pool_pdf) else np.empty(0, np.int64)
+        pdd = pool_pdf["dst"].to_numpy(np.int64) if len(pool_pdf) else np.empty(0, np.int64)
+        pdist = pool_pdf["dist"].to_numpy(np.float64) if len(pool_pdf) else np.empty(0)
+        pnew = pool_pdf["is_new"].to_numpy(bool) if len(pool_pdf) else np.empty(0, bool)
+
+        if len(cand_pdf):
+            cl = cand_pdf["clear"].to_numpy(bool)
+            cs = cand_pdf["src"].to_numpy(np.int64)
+            cd = cand_pdf["dst"].to_numpy(np.int64)
+            cdist = cand_pdf["dist"].to_numpy(np.float64)
+            clears = np.sort(_pack2(cs[cl], cd[cl]))
+            cs, cd, cdist = cs[~cl], cd[~cl], cdist[~cl]
+        else:
+            clears = np.empty(0, "V16")
+            cs = cd = np.empty(0, np.int64)
+            cdist = np.empty(0)
+
+        ppk = _pack2(ps, pdd)
+        po = np.argsort(ppk, kind="stable")
+        ppk_s, pflag_s = ppk[po], pnew[po]
+
+        s_all = np.concatenate([ps, cs])
+        d_all = np.concatenate([pdd, cd])
+        dist_all = np.concatenate([pdist, cdist])
+        if s_all.size == 0:
+            return _empty(_MERGE_COLS)
+        # min-dist dedupe per (src, dst): sort (src, dst, dist), keep first
+        o = np.lexsort((dist_all, d_all, s_all))
+        s_all, d_all, dist_all = s_all[o], d_all[o], dist_all[o]
+        first = np.r_[
+            True, (s_all[1:] != s_all[:-1]) | (d_all[1:] != d_all[:-1])
+        ]
+        s_u, d_u, dist_u = s_all[first], d_all[first], dist_all[first]
+        # top-L per src by (dist, dst)
+        o2 = np.lexsort((d_u, dist_u, s_u))
+        s2, d2, dist2 = s_u[o2], d_u[o2], dist_u[o2]
+        keep = _ranks(np.r_[True, s2[1:] != s2[:-1]]) < l
+        s2, d2, dist2 = s2[keep], d2[keep], dist2[keep]
+
+        pk2 = _pack2(s2, d2)
+        idx = np.searchsorted(ppk_s, pk2)
+        ok = idx < ppk_s.size
+        in_pool = ok & (ppk_s[np.where(ok, idx, 0)] == pk2)
+        old_flag = np.where(
+            in_pool, pflag_s[np.where(ok, idx, 0)], False
+        )
+        cleared = _member(clears, pk2)
+        is_new = np.where(in_pool, old_flag & ~cleared, True)
+        return pd.DataFrame(
+            {"src": s2, "dst": d2, "dist": dist2,
+             "is_new": is_new, "fresh": ~in_pool}
+        )
+
+    return fn
+
+
+def collect_exclusion(exclude_pairs: DataFrame, spark: SparkSession):
+    """Broadcast the init-compared pair set as sorted packed keys.
+
+    Returns None when the set exceeds EXCL_COLLECT_CAP — skipping the
+    exclusion re-scores those pairs to identical distances, so the graph
+    is unchanged; only redundant distance evaluations are added (the
+    reference's inSameBucket skip is likewise a pure work-saver,
+    /root/reference/include/index/index_graph.h:39-44).
+    """
+    canon = (
+        exclude_pairs.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .limit(EXCL_COLLECT_CAP + 1)
+        .toPandas()
+    )
+    if len(canon) > EXCL_COLLECT_CAP:
+        return None
+    pk = np.sort(
+        _pack2(canon["a"].to_numpy(np.int64), canon["b"].to_numpy(np.int64))
+    )
+    return spark.sparkContext.broadcast(pk)
+
+
+def nn_descent_fused(
+    spark: SparkSession,
+    emb: DataFrame,
+    bc,
+    k: int,
+    l: int,
+    s: int,
+    max_iters: int,
+    min_update_rate: float,
+    seed: int,
+    init: DataFrame | None = None,
+    exclude_pairs: DataFrame | None = None,
+    n_blocks: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Fused superstep loop. ``bc`` is a knn_graph.broadcast_matrix handle
+    (required — callers fall back to the join path without one). Returns
+    (pool, metrics); the caller applies the final top-K cut."""
+    from kgraph_framework_spark.operators.knn_graph import (
+        _score_pairs,
+        random_init,
+    )
+
+    B = n_blocks or spark.sparkContext.defaultParallelism
+    excl_bc = None
+    if exclude_pairs is not None:
+        excl_bc = collect_exclusion(exclude_pairs, spark)
+
+    pool = init if init is not None else random_init(emb, k, seed)
+    scored = _score_pairs(
+        pool.select(F.col("src").alias("a"), F.col("dst").alias("b")), emb, bc
+    )
+    pool = scored.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "dist",
+        F.lit(True).alias("is_new"),
+    )
+    pool = truncate_state(spark, pool)
+
+    metrics: list[dict] = []
+    n_edges_target = None
+    for it in range(max_iters):
+        pool_b = pool.select(
+            blk_col(F.col("src"), B).alias("blk"), "src", "dst", "dist",
+            "is_new",
+        )
+        samples = pool_b.groupBy("blk").applyInPandas(
+            _sample_kernel(s, seed + 3 * it + 1, B), SAMPLE_SCHEMA
+        )
+        cands = samples.groupBy("blk").applyInPandas(
+            _pairgen_kernel(s, l, seed + 3 * it + 2, B, bc, excl_bc),
+            CAND_SCHEMA,
+        )
+        merged = (
+            pool_b.groupBy("blk")
+            .cogroup(cands.groupBy("blk"))
+            .applyInPandas(
+                lambda kp, cp: _merge_kernel(l)(kp, cp), MERGE_SCHEMA
+            )
+        )
+        new_pool = truncate_state(spark, merged)
+        fresh = new_pool.where(F.col("fresh")).count()
+        release_state(pool)
+        if n_edges_target is None:
+            n_edges_target = new_pool.count()
+        rate = fresh / max(n_edges_target, 1)
+        metrics.append(
+            {"superstep": it, "new_entries": int(fresh), "update_rate": rate}
+        )
+        pool = new_pool.select("src", "dst", "dist", "is_new")
+        if rate < min_update_rate:
+            break
+
+    if excl_bc is not None:
+        excl_bc.unpersist()
+    return pool, metrics
