@@ -41,6 +41,14 @@ def main(argv: list[str] | None = None) -> None:
         "cost-based pick by edge count (cluster-scale inputs get csr)",
     )
     args = ap.parse_args(argv)
+    if args.hub_threshold is not None and args.engine != "join":
+        # the CSR engine's block-local pre-aggregation is structural
+        # salting, so --hub-threshold only applies to the join engine;
+        # an operator's explicit skew mitigation must not vanish silently
+        ap.error(
+            "--hub-threshold requires --engine join (csr/auto pre-aggregate "
+            "hubs structurally; pass --engine join to force the salted path)"
+        )
 
     from pyspark.sql import SparkSession
 

@@ -106,14 +106,28 @@ def build_kdtree_forest(
     leaf_size: int = 16,
     seed: int = 1998,
     max_depth: int = 24,
+    n: int | None = None,
+    max_leaves_per_tree: int = 1 << 15,
 ) -> tuple[DataFrame, list[dict]]:
     """BFS-split the corpus into per-tree leaves.
 
     Returns (leaves, splits): leaves = (vec_id, tree_id, node) with one
     row per (vector, tree); splits = driver-side list of split records
-    (the broadcastable tree structure — ~N/leaf_size nodes per tree,
-    metadata only, no vectors).
+    (the broadcastable tree structure, metadata only, no vectors).
+
+    DRIVER-MEMORY BOUND: ``leaf_size`` grows with the corpus so each
+    tree has at most ``max_leaves_per_tree`` leaves — the forest is a
+    COARSE partitioner at scale (the reference's mLevel spirit: trees
+    stop at a fixed level and leaves become work units,
+    /root/reference/src/index_kdtree.cpp:196-207). The split table is
+    therefore O(n_trees * max_leaves_per_tree) regardless of N; at
+    10^9 vectors the default caps the table at ~32k nodes/tree while
+    leaves (~30k vectors) still flow through the leaf self-join as
+    grouped Arrow batches.
     """
+    if n is None:
+        n = emb.count()
+    leaf_size = max(leaf_size, -(-n // max_leaves_per_tree))
     state = emb.select(
         "vec_id",
         "embedding",
@@ -259,8 +273,14 @@ def _route_to_leaf(
         (max(d["dim"].keys()).bit_length() for d in by_tree.values()),
         default=2,
     ) + 2
+    # bounded by max_leaves_per_tree (see build_kdtree_forest), so a
+    # broadcast — not a per-task closure — carries the whole forest
+    bc_packed = leaves.sparkSession.sparkContext.broadcast(packed)
 
     def walk(it):
+        from kgraph_framework_spark.operators.nnd_fused import _hash_np
+
+        packed = bc_packed.value
         for pdf in it:
             if pdf.empty:
                 continue
@@ -291,9 +311,7 @@ def _route_to_leaf(
                         internal, mode_s.reindex(cur).to_numpy(), 0
                     ).astype(bool)
                     go_left = x[np.arange(len(cur)), d] <= v
-                    hside = np.array(
-                        [_int_hash(i, seed) % 2 for i in ids], dtype=np.int64
-                    )
+                    hside = _hash_np(ids, seed) % 2
                     side = np.where(hmode, hside, go_left.astype(np.int64))
                     cur = np.where(internal, cur * 2 + side, cur)
                 out_frames.append(

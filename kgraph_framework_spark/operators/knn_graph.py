@@ -76,14 +76,26 @@ def id_index(emb: DataFrame) -> DataFrame:
     Synthesized pseudo-random slots are positions in [0, n); with gapped
     or non-zero-based ids they must be mapped onto REAL ids or the
     downstream embedding join silently drops them (shrinking init pools
-    below k with no error). The global row_number is a one-off
-    sort of the (small) id column only — at 100 TB use zipWithIndex on
-    the id RDD instead; correctness is identical.
+    below k with no error).
+
+    ridx = rank of vec_id in ascending order, computed as a RANGE
+    repartition + per-partition sort + zipWithIndex: range partitioning
+    guarantees partition p's ids all precede partition p+1's, so the
+    concatenated per-partition order is the global sort — every task
+    stays bounded (no single-task global Window, the round-2 scale
+    hazard), and the mapping is independent of the sampled partition
+    boundaries.
     """
-    w = Window.orderBy("vec_id")
-    return emb.select("vec_id").withColumn(
-        "ridx", (F.row_number().over(w) - 1).cast("long")
+    spark = emb.sparkSession
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    rdd = (
+        emb.select("vec_id")
+        .repartitionByRange(parts, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .rdd.map(lambda r: r[0])
+        .zipWithIndex()
     )
+    return spark.createDataFrame(rdd, "vec_id long, ridx long")
 
 
 def random_init(emb: DataFrame, k: int, seed: int = 42) -> DataFrame:

@@ -383,6 +383,7 @@ def graph_add(
     emb: DataFrame,
     new_emb: DataFrame,
     k: int = 10,
+    return_delta: bool = False,
     **search_kw,
 ) -> DataFrame:
     """Insert a batch of new vectors into an existing kNN graph.
@@ -392,6 +393,20 @@ def graph_add(
     vertex re-top-Ks its pool (the lock-based parallel_graph_insert
     becomes an associative groupBy re-aggregation — deterministic).
     Returns the merged graph (src, dst, dist) over emb ∪ new_emb.
+
+    INCREMENTAL: only vertices touched by the insert re-top-K — the new
+    ids plus the found endpoints receiving reverse edges (the reference
+    locks and edits exactly those adjacency rows,
+    /root/reference/src/index_graph.cpp:432-441 parallel_graph_insert).
+    The untouched remainder of the graph passes through untouched, so
+    per-batch shuffle volume scales with batch_size * k, not corpus
+    size. Semantics identical to a full re-top-K: an untouched vertex's
+    pool is already its top-k and re-ranking it is the identity.
+
+    ``return_delta=True`` returns ONLY the re-top-K'd pools of the
+    touched vertices (the full new pool per touched src) instead of the
+    whole merged graph — the streaming maintainer appends these as a
+    delta-log generation so the per-batch WRITE is O(touched * k) too.
     """
     queries = new_emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -403,16 +418,28 @@ def graph_add(
     rev = fwd.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
     )
-    merged = (
+    # touched = inserted ids ∪ vertices gaining a reverse edge: a small
+    # set (<= batch * (k+1)) -> broadcast semi/anti joins, no full shuffle
+    touched = (
+        fwd.select("src").unionByName(rev.select("src")).distinct()
+    )
+    affected = (
         graph.select("src", "dst", "dist")
+        .join(F.broadcast(touched), "src", "left_semi")
         .unionByName(fwd)
         .unionByName(rev)
         .groupBy("src", "dst")
         .agg(F.min("dist").alias("dist"))
     )
     w = Window.partitionBy("src").orderBy("dist", "dst")
-    return (
-        merged.withColumn("rn", F.row_number().over(w))
+    retopped = (
+        affected.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("src", "dst", "dist")
     )
+    if return_delta:
+        return retopped
+    untouched = graph.select("src", "dst", "dist").join(
+        F.broadcast(touched), "src", "left_anti"
+    )
+    return untouched.unionByName(retopped)

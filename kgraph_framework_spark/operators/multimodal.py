@@ -71,16 +71,50 @@ def _decode_stub(payload: bytes, media_type: str) -> dict:
 
 
 def extract_features(binaries: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the payload column."""
+    """Arrow-batched feature extraction over the payload column.
+
+    Byte features are computed with numpy over the CONCATENATED head
+    bytes of the whole batch (frombuffer + bincount-segmented sums) —
+    no per-row Python arithmetic; the only per-row call left is
+    hashlib.md5, a C digest with no vectorized equivalent. Output is
+    bit-identical to the old per-row _decode_stub loop, which remains
+    the single-payload reference implementation (and the raising guard
+    for undecodable media types).
+    """
+    import hashlib
+
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _decode_stub(p, m)
-                for p, m in zip(pdf["payload"], pdf["media_type"])
-            ]
-            out = pd.DataFrame(feats)
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out
+            n = len(pdf)
+            if n == 0:
+                continue
+            payloads = pdf["payload"].to_numpy()
+            for m in pd.unique(pdf["media_type"]):
+                if m != "application/octet-stream":
+                    _decode_stub(b"", m)  # raises NotImplementedError
+            heads = [bytes(p[:16]) for p in payloads]
+            lens = np.fromiter((len(h) for h in heads), np.int64, n)
+            arr = np.frombuffer(b"".join(heads), np.uint8)
+            byte_sum = np.bincount(
+                np.repeat(np.arange(n), lens),
+                weights=arr.astype(np.float64),
+                minlength=n,
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "n_bytes": np.fromiter(
+                        (len(p) for p in payloads), np.int64, n
+                    ),
+                    "head_md5": [
+                        hashlib.md5(h.hex().upper().encode()).hexdigest()
+                        for h in heads
+                    ],
+                    "byte_sum_16": byte_sum,
+                    "decoder": "stub-v1",
+                }
+            )
 
     return binaries.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -54,8 +54,21 @@ def _objective_matrix(pdf: pd.DataFrame, maximize, minimize) -> np.ndarray:
     return np.column_stack(cols)
 
 
-def skyline(df: DataFrame, maximize: list[str], minimize: list[str]) -> DataFrame:
-    """Rows of ``df`` not strictly dominated on the given objectives."""
+def skyline(
+    df: DataFrame,
+    maximize: list[str],
+    minimize: list[str],
+    fanin: int = 16,
+    rounds: int = 2,
+) -> DataFrame:
+    """Rows of ``df`` not strictly dominated on the given objectives.
+
+    Phase 2 is a TREE-REDUCE, not a single group: local survivors hash
+    into ``fanin``-way groups per round (each group's skyline is again a
+    sound reduction), halting at one group only for the final pass — so
+    with many objectives (frontier ~O(n)) no single task ever takes the
+    whole survivor set at once.
+    """
     schema = df.schema
 
     def batch_skyline(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -67,15 +80,24 @@ def skyline(df: DataFrame, maximize: list[str], minimize: list[str]) -> DataFram
     def group_skyline(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return pdf[_pareto_mask(_objective_matrix(pdf, maximize, minimize))]
 
-    local = df.mapInPandas(batch_skyline, schema=schema)
-    return (
-        local.withColumn("_g", F.lit(1))
-        .groupBy("_g")
-        .applyInPandas(
-            lambda key, pdf: group_skyline(key, pdf.drop(columns=["_g"])),
-            schema=schema,
+    cur = df.mapInPandas(batch_skyline, schema=schema)
+    groups = fanin ** max(rounds - 1, 0)
+    while True:
+        cur = (
+            cur.withColumn(
+                "_g",
+                F.pmod(F.hash(*[F.col(c) for c in maximize + minimize]),
+                       F.lit(groups)) if groups > 1 else F.lit(0),
+            )
+            .groupBy("_g")
+            .applyInPandas(
+                lambda key, pdf: group_skyline(key, pdf.drop(columns=["_g"])),
+                schema=schema,
+            )
         )
-    )
+        if groups == 1:
+            return cur
+        groups = max(groups // fanin, 1)
 
 
 def doc_quality_skyline(docs: DataFrame) -> DataFrame:
@@ -89,6 +111,10 @@ def doc_quality_skyline(docs: DataFrame) -> DataFrame:
     non-degenerate. Output: (doc_id, n_tokens, alpha_ppm).
     """
     toks = F.split(F.col("text"), " ")
+    # empty documents would yield null/NaN alpha_ppm, which neither
+    # dominates nor is dominated (always survives) while the SQL twin's
+    # division errors — exclude them identically on both sides
+    docs = docs.where(F.length("text") > 0)
     m = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),

@@ -70,10 +70,21 @@ def truncate_state(spark: SparkSession, df: DataFrame) -> DataFrame:
         # Dataset's queryExecution().toRdd(), which is a fresh derived
         # MapPartitionsRDD) — diff the persistent-RDD registry around the
         # call to capture the actually-persisted handle for release_state.
+        # The diff alone can also catch an UNRELATED cache whose RDD first
+        # registered during this action (e.g. a .persist() upstream first
+        # materialized here); keep only diffed ids that appear in the
+        # checkpointed dataset's own lineage so release_state never
+        # unpersists a user cache mid-run.
         kg_rdds = []
         if jsc is not None:
             reg = jsc.getPersistentRDDs()
-            kg_rdds = [reg[i] for i in set(reg.keys()) - before]
+            new_ids = set(reg.keys()) - before
+            if new_ids:
+                dbg = ckpt._jdf.queryExecution().toRdd().toDebugString()
+                lineage = dbg.decode() if isinstance(dbg, bytes) else str(dbg)
+                kg_rdds = [
+                    reg[i] for i in new_ids if f"[{i}]" in lineage
+                ]
         jdf = ckpt._jdf
         jrdd = jdf.queryExecution().toRdd()
         new_jdf = spark._jsparkSession.internalCreateDataFrame(

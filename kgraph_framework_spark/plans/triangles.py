@@ -86,19 +86,36 @@ def _common_neighbors(edges_with_adj: DataFrame) -> DataFrame:
 
     @pandas_udf("array<long>")
     def common(na, nb):
-        out = []
-        for x, y in zip(na, nb):
-            if x is None or y is None or len(x) == 0 or len(y) == 0:
-                out.append(np.empty(0, np.int64))
-            else:
-                out.append(
-                    np.intersect1d(
-                        np.asarray(x, np.int64),
-                        np.asarray(y, np.int64),
-                        assume_unique=True,
-                    )
-                )
-        return pd.Series(out)
+        """Batch-vectorized intersection: flatten BOTH ragged sides into
+        (row, value, side) triples, one lexsort, and a value appearing
+        under the same row from both sides is common. Per-row Python is
+        gone — the batch costs one sort of total adjacency length, not
+        an interpreter call per edge."""
+        n = len(na)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        empty = np.empty(0, np.int64)
+        xa = [np.asarray(x, np.int64) if x is not None else empty
+              for x in na.to_numpy()]
+        xb = [np.asarray(y, np.int64) if y is not None else empty
+              for y in nb.to_numpy()]
+        la = np.fromiter((x.size for x in xa), np.int64, n)
+        lb = np.fromiter((y.size for y in xb), np.int64, n)
+        vals = np.concatenate(xa + xb) if (la.sum() + lb.sum()) else empty
+        rows = np.concatenate(
+            [np.repeat(np.arange(n, dtype=np.int64), la),
+             np.repeat(np.arange(n, dtype=np.int64), lb)]
+        )
+        o = np.lexsort((vals, rows))
+        ro, vo = rows[o], vals[o]
+        # each side is unique within itself, so a consecutive duplicate
+        # of (row, value) means one hit from each side
+        dup = (ro[1:] == ro[:-1]) & (vo[1:] == vo[:-1]) if ro.size else (
+            np.zeros(0, bool)
+        )
+        hit_rows, hit_vals = ro[1:][dup], vo[1:][dup]
+        counts = np.bincount(hit_rows, minlength=n)
+        return pd.Series(np.split(hit_vals, np.cumsum(counts)[:-1]))
 
     return edges_with_adj.select(
         "a", "b", common(F.col("na"), F.col("nb")).alias("cs")

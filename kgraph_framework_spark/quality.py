@@ -171,7 +171,11 @@ def lsh_nndescent_gate(
     )
 
     pool, buckets = lsh_init(emb, k=k, return_buckets=True)
-    excl = bucket_pairs(buckets)
+    # same oversized-bucket guard lsh_init itself applies (4x its
+    # default max_bucket=200): depth-floor buckets stay out of the
+    # quadratic pair expansion; exclusion is a work-saver, so a smaller
+    # exclusion set never changes the result
+    excl = bucket_pairs(buckets, max_bucket=800)
     graph, _metrics = nn_descent(
         spark, emb, k=k, max_iters=max_iters, init=pool, exclude_pairs=excl
     )

@@ -208,7 +208,7 @@ m AS (
     CAST(len(tk) AS BIGINT) AS n_tokens,
     CAST(floor(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
          / len(text) * 1000000 + 0.5) AS BIGINT) AS alpha_ppm
-  FROM toks)
+  FROM toks WHERE len(text) > 0)
 SELECT doc_id, n_tokens, alpha_ppm FROM m a
 WHERE NOT EXISTS (
   SELECT 1 FROM m b

@@ -93,6 +93,20 @@ class TestRandomInit:
         shifted.unpersist()
 
 
+class TestIdIndex:
+    def test_rank_mapping_and_no_global_window(self, spark, emb):
+        from kgraph_framework_spark.operators.knn_graph import id_index
+
+        shifted = emb.select((F.col("vec_id") * 7 + 1000).alias("vec_id"))
+        got = {r["vec_id"]: r["ridx"] for r in id_index(shifted).collect()}
+        ids = sorted(r["vec_id"] for r in shifted.collect())
+        assert got == {v: i for i, v in enumerate(ids)}
+        # scale guard: the zipWithIndex path must not reintroduce a
+        # no-partition Window (single-task global sort)
+        plan = id_index(shifted)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+
 class TestNNDescent:
     def test_recall_improves_and_clears_floor(self, spark, emb, truth):
         init_recall = graph_recall(

@@ -92,6 +92,7 @@ class TestKnnMaintenance:
         )
         from kgraph_framework_spark.streaming.knn_maintain import (
             maintain_knn_graph,
+            read_graph,
         )
 
         inp, emb = self._split_embeddings(spark, tmp_path)
@@ -102,7 +103,7 @@ class TestKnnMaintenance:
         )
         corpus = spark.read.parquet(f"{work}/corpus")
         assert corpus.count() == emb.count()
-        graph = spark.read.parquet(f"{work}/graph")
+        graph = read_graph(spark, work)
         n = emb.count()
         degs = graph.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
         assert degs.count() == n
@@ -126,4 +127,61 @@ class TestKnnMaintenance:
         # re-run with same checkpoint: no new files -> state unchanged
         maintain_knn_graph(spark, inp, work, ckpt, k=10)
         assert spark.read.parquet(f"{work}/corpus").count() == n1
+        emb.unpersist()
+
+    def test_delta_write_scales_with_batch_not_corpus(self, spark, tmp_path):
+        """A micro-batch's delta holds only touched-vertex pools: its
+        vertex count is bounded by batch * (k+1), independent of corpus
+        size (the incremental parallel_graph_insert contract)."""
+        from kgraph_framework_spark.streaming.knn_maintain import (
+            apply_embedding_batch,
+            read_graph,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding").persist()
+        k = 10
+        base = emb.where(F.col("vec_id") >= 5)
+        batch = emb.where(F.col("vec_id") < 5)
+        work = str(tmp_path / "knn_delta")
+        apply_embedding_batch(spark, base, work, k=k, batch_id=0)
+        apply_embedding_batch(spark, batch, work, k=k, batch_id=1)
+        n_batch = batch.count()
+        n_corpus = emb.count()
+        delta = spark.read.parquet(f"{work}/graph/delta-00000001")
+        touched = delta.select("src").distinct().count()
+        assert touched <= n_batch * (k + 1), (
+            f"{touched} touched vertices for a {n_batch}-row batch"
+        )
+        assert touched < n_corpus  # untouched corpus rows NOT rewritten
+        # and the merged read view covers every vertex exactly-top-k
+        g = read_graph(spark, work)
+        assert g.select("src").distinct().count() == n_corpus
+        assert g.groupBy("src").count().agg(F.max("count")).first()[0] <= k
+        emb.unpersist()
+
+    def test_replayed_batch_is_skipped_by_ledger(self, spark, tmp_path):
+        from kgraph_framework_spark.streaming.knn_maintain import (
+            apply_embedding_batch,
+            read_graph,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding").persist()
+        base = emb.where(F.col("vec_id") >= 5)
+        batch = emb.where(F.col("vec_id") < 5)
+        work = str(tmp_path / "knn_replay")
+        apply_embedding_batch(spark, base, work, k=10, batch_id=0)
+        apply_embedding_batch(spark, batch, work, k=10, batch_id=1)
+        before = sorted(
+            (r["src"], r["dst"]) for r in read_graph(spark, work).collect()
+        )
+        # foreachBatch replay of a committed batch: exact no-op
+        apply_embedding_batch(spark, batch, work, k=10, batch_id=1)
+        after = sorted(
+            (r["src"], r["dst"]) for r in read_graph(spark, work).collect()
+        )
+        assert before == after
         emb.unpersist()
