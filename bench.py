@@ -133,6 +133,9 @@ def main() -> None:
     timed("knn_build_nndescent", _build)
     extra["knn_n_vecs"] = int(n_vecs)
     extra["knn_rounds"] = built["rounds"]
+    extra["knn_build_vecs_per_sec"] = round(
+        n_vecs / max(queries["knn_build_nndescent"], 1e-9)
+    )
     truth = knn_bruteforce_l2(emb, k=10)
     extra["knn_recall"] = round(
         graph_recall(built["graph"].select("src", "dst"), truth), 4

@@ -371,19 +371,32 @@ def kdtree_init(
             F.greatest(F.col("vec_id"), F.col("b")).alias("b"),
         )
     )
-    pairs = leaf_pairs.unionByName(routed_pairs).distinct()
+    from kgraph_framework_spark.operators.nnd_fused import (
+        score_sym_topk,
+        topk_per_src,
+    )
 
-    scored = _score_pairs(pairs, e, bc)
-    sym = scored.unionByName(
-        scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "dist")
-    ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
-    from kgraph_framework_spark.operators.nnd_fused import topk_per_src
+    scored = None
+    if bc is not None:
+        # keep the leaf join's locality (co-leaf pairs share srcs within
+        # a batch) and let score_sym_topk's map-side top-k compress the
+        # pair set before the shuffle; cross-tree duplicates score to
+        # identical values and collapse in the global top-k
+        pairs = leaf_pairs.unionByName(routed_pairs)
+        sym = score_sym_topk(pairs, bc, k)
+    else:
+        pairs = leaf_pairs.unionByName(routed_pairs).distinct()
+        scored = truncate_state(spark, _score_pairs(pairs, e, bc))
+        sym = scored.unionByName(
+            scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "dist")
+        ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
 
     # materialize pre-pad: pad_to_k + the descent's init scoring would
     # otherwise re-execute the leaf/routed joins per reference
     pre = truncate_state(
         spark, topk_per_src(sym, k).withColumn("is_new", F.lit(True))
     )
+    release_state(scored)
     pool = truncate_state(spark, pad_to_k(pre, e, k, seed=seed + 7, bc=bc))
     release_state(pre)
     leaves.unpersist()

@@ -254,14 +254,21 @@ def clsh_buckets(
     )
 
 
-def bucket_pairs(buckets: DataFrame, max_bucket: int | None = None) -> DataFrame:
-    """Distinct canonical (a < b) co-bucketed pairs from a bucket table.
+def bucket_pairs(
+    buckets: DataFrame,
+    max_bucket: int | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """Canonical (a < b) co-bucketed pairs from a bucket table.
 
     This is both the init's candidate set and the refinement-phase
     exclusion set (the reference's inSameBucket skip,
     /root/reference/include/index/index_graph.h:39-44).
     ``max_bucket`` guards against quadratic blowup if the caller passes
-    un-split buckets.
+    un-split buckets. ``distinct=False`` keeps cross-table duplicates
+    AND the bucket-join's partition locality — the score_sym_topk init
+    path wants that locality for its map-side top-k and dedupes in the
+    final global top-k instead (one less shuffle of the full pair set).
     """
     b = buckets
     if max_bucket is not None:
@@ -272,12 +279,12 @@ def bucket_pairs(buckets: DataFrame, max_bucket: int | None = None) -> DataFrame
         )
     lhs = b.select("table_id", "bucket", F.col("vec_id").alias("a"))
     rhs = b.select("table_id", "bucket", F.col("vec_id").alias("b"))
-    return (
+    out = (
         lhs.join(rhs, ["table_id", "bucket"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def pad_to_k(
@@ -355,12 +362,23 @@ def lsh_init(
     # codes across ALL hyperplanes — the reference escapes via its
     # 10-repeat rehash, src/index_lsh.cpp:654-659); skipped vertices are
     # covered by pad_to_k below
-    pairs = bucket_pairs(buckets, max_bucket=4 * max_bucket)
-    scored = _score_pairs(pairs, emb, bc)
-    sym = scored.unionByName(
-        scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "dist")
-    ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
-    from kgraph_framework_spark.operators.nnd_fused import topk_per_src
+    from kgraph_framework_spark.operators.nnd_fused import (
+        score_sym_topk,
+        topk_per_src,
+    )
+
+    scored = None
+    if bc is not None:
+        # fast path: score in place + map-side per-src top-k riding the
+        # bucket join's locality (no distinct shuffle of the pair set)
+        pairs = bucket_pairs(buckets, max_bucket=4 * max_bucket, distinct=False)
+        sym = score_sym_topk(pairs, bc, k)
+    else:
+        pairs = bucket_pairs(buckets, max_bucket=4 * max_bucket)
+        scored = truncate_state(spark, _score_pairs(pairs, emb, bc))
+        sym = scored.unionByName(
+            scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "dist")
+        ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "dist")
 
     # materialize the pre-pad pool: pad_to_k references it three times and
     # the descent's init-scoring pass once more — without this the whole
@@ -369,6 +387,7 @@ def lsh_init(
     pre = truncate_state(
         spark, topk_per_src(sym, k).withColumn("is_new", F.lit(True))
     )
+    release_state(scored)
     pool = truncate_state(spark, pad_to_k(pre, emb, k, seed=seed + 7, bc=bc))
     release_state(pre)
     if return_buckets:

@@ -168,6 +168,47 @@ def topk_per_src(
     )
 
 
+def score_sym_topk(pairs: DataFrame, bc, k: int) -> DataFrame:
+    """Score (a, b) pairs against the broadcast matrix, emit BOTH
+    directions, and per-src top-k WITHIN each Arrow batch — a map-side
+    combine for init pipelines (T1 two-stage ranking).
+
+    Input pairs should keep their bucket/leaf locality (do NOT .distinct()
+    them first): co-bucketed pairs share srcs within a batch, so the
+    local top-k compresses a size-m bucket's ~m^2 symmetric rows to
+    ~m*k before the shuffle. Duplicate pairs across tables/trees score
+    to identical values and collapse in the global top-k, so skipping
+    the distinct trades a little redundant (vectorized) scoring for one
+    less shuffle and a much smaller one after. Feed the result to
+    :func:`topk_per_src` for the global cut.
+    """
+
+    def fn(it):
+        ids, X = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            a = pdf["a"].to_numpy(np.int64)
+            b = pdf["b"].to_numpy(np.int64)
+            da = X[np.searchsorted(ids, a)].astype(np.float64)
+            db = X[np.searchsorted(ids, b)].astype(np.float64)
+            d = da - db
+            dist = np.einsum("ij,ij->i", d, d)
+            s = np.concatenate([a, b])
+            t = np.concatenate([b, a])
+            dd = np.concatenate([dist, dist])
+            o = np.lexsort((t, dd, s))
+            s, t, dd = s[o], t[o], dd[o]
+            keep = _ranks(np.r_[True, s[1:] != s[:-1]]) < k
+            yield pd.DataFrame(
+                {"src": s[keep], "dst": t[keep], "dist": dd[keep]}
+            )
+
+    return pairs.select("a", "b").mapInPandas(
+        fn, schema="src long, dst long, dist double"
+    )
+
+
 def _sample_kernel(s: int, seed: int, n_blocks: int):
     """Stage 1: per-vertex S new + S old samples, emitted fwd + rev."""
 

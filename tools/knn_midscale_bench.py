@@ -20,11 +20,16 @@ Data: deterministic clustered vectors from pure JVM arithmetic
 driver-side generation, identical at any parallelism.
 
 Usage: python tools/knn_midscale_bench.py [n_vecs] [k] [cores] [iters]
+         [--init lsh|random] [--l L] [--s S] [--dim D]
+``--init random --l 70 --s 10`` with k=50 reproduces the reference's
+SIFT1M `test_nndescent` parameterization (K=50 L=70 iter S=10,
+/root/reference/README.md:101-107) for a like-for-like vecs/sec point.
 Appends a section to BENCH.md and prints one JSON line.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -41,7 +46,7 @@ N_CLUSTERS = 256
 N_QUERIES = 200
 
 
-def synth_vectors(spark, n_vecs: int, parts: int):
+def synth_vectors(spark, n_vecs: int, parts: int, dim: int = DIM):
     """Clustered deterministic vectors: id -> cluster center + noise."""
     from pyspark.sql import functions as F
 
@@ -58,12 +63,12 @@ def synth_vectors(spark, n_vecs: int, parts: int):
         .select(
             F.col("id").alias("vec_id"),
             F.transform(
-                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                F.sequence(F.lit(0), F.lit(dim - 1)),
                 # center spread ~ noise spread: clusters overlap, so the
                 # kNN structure is non-trivial (recall < 1 is possible)
                 lambda j: (
-                    u(cid * DIM + j, 13) * F.lit(2.0)
-                    + u(F.col("id") * DIM + j, 7) * F.lit(1.5)
+                    u(cid * dim + j, 13) * F.lit(2.0)
+                    + u(F.col("id") * dim + j, 7) * F.lit(1.5)
                 ).cast("float"),
             ).alias("embedding"),
         )
@@ -112,10 +117,18 @@ def sampled_truth(spark, emb, n_vecs: int, k: int):
 
 
 def main() -> None:
-    n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    iters = int(sys.argv[4]) if len(sys.argv) > 4 else 6
+    global DIM
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_vecs", nargs="?", type=int, default=100_000)
+    ap.add_argument("k", nargs="?", type=int, default=10)
+    ap.add_argument("cores", nargs="?", type=int, default=32)
+    ap.add_argument("iters", nargs="?", type=int, default=6)
+    ap.add_argument("--init", choices=("lsh", "random"), default="lsh")
+    ap.add_argument("--l", type=int, default=None)
+    ap.add_argument("--s", type=int, default=None)
+    ap.add_argument("--dim", type=int, default=DIM)
+    args = ap.parse_args()
+    n_vecs, k, cores, iters = args.n_vecs, args.k, args.cores, args.iters
 
     from kgraph_framework_spark.operators.knn_graph import nn_descent
     from kgraph_framework_spark.operators.knn_search import lsh_init
@@ -126,13 +139,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    emb = synth_vectors(spark, n_vecs, cores * 2).persist()
+    DIM = args.dim
+    emb = synth_vectors(spark, n_vecs, cores * 2, dim=args.dim).persist()
     emb.count()
 
     t0 = time.monotonic()
-    init = lsh_init(emb, k=k, n_tables=4, max_bucket=128, n=n_vecs)
+    init = (
+        lsh_init(emb, k=k, n_tables=4, max_bucket=128, n=n_vecs)
+        if args.init == "lsh"
+        else None
+    )
     graph, metrics = nn_descent(
-        spark, emb, k=k, max_iters=iters, init=init
+        spark, emb, k=k, l=args.l, s=args.s, max_iters=iters, init=init
     )
     graph = graph.persist()
     n_edges = graph.count()
@@ -148,6 +166,9 @@ def main() -> None:
     result = {
         "n_vecs": n_vecs,
         "dim": DIM,
+        "init": args.init,
+        "l": args.l,
+        "s": args.s,
         "k": k,
         "cores": cores,
         "wall_sec": round(wall, 1),
@@ -161,7 +182,7 @@ def main() -> None:
     md = f"""
 ## Mid-scale kNN-graph build ({n_vecs:,} x {DIM}-d, local[{cores}])
 
-LSH(CLSH) init + NN-descent ({result['rounds']} rounds), k={k}; sampled
+{args.init} init + NN-descent ({result['rounds']} rounds), k={k}, l={args.l}, s={args.s}; sampled
 recall vs exact brute-force over {result['sample_queries']} queries
 (tools/knn_midscale_bench.py, deterministic clustered vectors).
 
