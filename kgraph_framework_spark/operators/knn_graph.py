@@ -143,8 +143,9 @@ def random_init(emb: DataFrame, k: int, seed: int = 42) -> DataFrame:
 
 #: corpora whose float32 matrix fits under this are broadcast to
 #: executors and scored WITHOUT the two embedding joins — the Spark
-#: analog of the reference holding `data_` in RAM. Auto-disabled above
-#: the cap (100-TB corpora always take the join path).
+#: analog of the reference holding `data_` in RAM. Above the cap the
+#: matrix is sharded into cogrouped blocks instead (operators/
+#: nnd_blocked) — same kernels, no single-node requirement.
 SCORE_BROADCAST_BYTES = 512 << 20
 #: ...and below this vector count the join path wins instead: the
 #: saved embedding shuffle is tiny while the extra mapInPandas stage
@@ -271,9 +272,11 @@ def nn_descent(
 
     ``mode``: "auto" runs the FUSED superstep loop (operators/nnd_fused —
     3 grouped Arrow kernels per round) whenever the corpus matrix fits in
-    a broadcast, else the join-based loop below; "join" forces the
-    join path (the 100-TB shape, also used to test it at small N);
-    "fused" asserts the broadcast fits.
+    a broadcast, else the BLOCKED loop (operators/nnd_blocked — same
+    kernels, matrix sharded into cogrouped blocks, no broadcast: the
+    100-TB shape); "blocked" forces the blocked loop at any size;
+    "fused" asserts the broadcast fits; "join" forces the legacy
+    join-based loop below (kept as the cross-checked slow path).
     """
     if l is None:
         l = 3 * k
@@ -286,21 +289,40 @@ def nn_descent(
         bc = broadcast_matrix(emb, min_vecs=1)
     if mode == "fused" and bc is None:
         raise ValueError("mode='fused' but corpus exceeds broadcast cap")
-    if bc is not None:
-        from kgraph_framework_spark.operators.nnd_fused import nn_descent_fused
+    if bc is not None or mode in ("blocked", "auto"):
+        from kgraph_framework_spark.operators.nnd_fused import (
+            nn_descent_fused,
+            topk_per_src,
+        )
 
-        pool, metrics = nn_descent_fused(
-            spark, emb, bc, k=k, l=l, s=s, max_iters=max_iters,
-            min_update_rate=min_update_rate, seed=seed, init=init,
-            exclude_pairs=exclude_pairs,
+        from kgraph_framework_spark.operators.nnd_fused import auto_n_blocks
+
+        if bc is not None:
+            n_vecs = len(bc.value[0])
+            pool, metrics = nn_descent_fused(
+                spark, emb, bc, k=k, l=l, s=s, max_iters=max_iters,
+                min_update_rate=min_update_rate, seed=seed, init=init,
+                exclude_pairs=exclude_pairs,
+            )
+        else:
+            # beyond the broadcast cap (or forced): same kernels, matrix
+            # sharded into cogrouped blocks — no single-node requirement
+            from kgraph_framework_spark.operators.nnd_blocked import (
+                nn_descent_blocked,
+            )
+
+            n_vecs = emb.count()
+            pool, metrics = nn_descent_blocked(
+                spark, emb, k=k, l=l, s=s, max_iters=max_iters,
+                min_update_rate=min_update_rate, seed=seed, init=init,
+                exclude_pairs=exclude_pairs,
+            )
+        B = auto_n_blocks(
+            spark.sparkContext.defaultParallelism, n_vecs, l
         )
-        wk = Window.partitionBy("src").orderBy("dist", "dst")
-        graph = (
-            pool.withColumn("rn", F.row_number().over(wk))
-            .where(F.col("rn") <= k)
-            .select("src", "dst", "dist")
-        )
-        bc.unpersist()
+        graph = topk_per_src(pool.select("src", "dst", "dist"), k, B)
+        if bc is not None:
+            bc.unpersist()
         emb.unpersist()
         return graph, metrics
 

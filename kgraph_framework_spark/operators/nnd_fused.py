@@ -33,9 +33,10 @@ chunked einsum over gathers from the broadcast matrix — bit-identical
 distances to knn_graph._score_pairs (same float32 storage, float64
 arithmetic). Requires the corpus matrix to fit in a broadcast
 (knn_graph.SCORE_BROADCAST_BYTES); corpora above the cap — the 100-TB
-path — use the join-based supersteps in knn_graph.nn_descent, whose
-embedding gathers shuffle instead. Candidate volume per round is the same
-N*O(S^2) either way; the reverse reservoir cap is the skew bound.
+path — run the SAME kernels with the matrix sharded into cogrouped
+blocks (operators/nnd_blocked, bit-identical output). Candidate volume
+per round is the same N*O(S^2) either way; the reverse reservoir cap is
+the skew bound.
 """
 
 from __future__ import annotations
@@ -58,6 +59,20 @@ MERGE_SCHEMA = "src long, dst long, dist double, is_new boolean, fresh boolean"
 EXCL_COLLECT_CAP = 5_000_000
 
 _SCORE_CHUNK = 1 << 18  # pairs per einsum chunk: 2 * 256Ki * dim * 8B live
+
+#: target pool rows per merge/sample block. ``n_blocks`` must grow with
+#: the corpus, not the core count: at 10^9 vertices with L=30 a
+#: defaultParallelism-sized block would hold ~10^9/B pool rows in ONE
+#: applyInPandas group — an OOM cliff. Deriving B from N*L keeps every
+#: block's pandas frame bounded regardless of corpus size.
+POOL_ROWS_PER_BLOCK = 2_000_000
+
+
+def auto_n_blocks(default_parallelism: int, n_vecs: int, l: int) -> int:
+    """Block count for the fused kernels: enough blocks that each holds
+    ~POOL_ROWS_PER_BLOCK pool rows, never fewer than the core count."""
+    need = -(-(n_vecs * l) // POOL_ROWS_PER_BLOCK)  # ceil div
+    return int(max(default_parallelism, need))
 
 
 def _hash_np(first, *rest):
@@ -240,6 +255,87 @@ def _sample_kernel(s: int, seed: int, n_blocks: int):
     return fn
 
 
+def _canonical_pairs(
+    key: np.ndarray,
+    nbr: np.ndarray,
+    new: np.ndarray,
+    fwd: np.ndarray,
+    s: int,
+    seed: int,
+    excl_bc,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared candidate generation for one sample block: reverse
+    reservoir cap, (vertex, nbr, flag) dedupe, per-vertex new/old lists,
+    new x new (a<b) + new x old local join, block-level canonical dedupe
+    and exclusion. Returns canonical (lo, hi) with lo < hi."""
+    # reverse reservoir cap at S per (vertex, flag) — J8
+    ridx = np.flatnonzero(~fwd)
+    kept_rev = np.empty(0, np.int64)
+    if ridx.size:
+        hk = _hash_np(nbr[ridx], seed)
+        ro = np.lexsort((hk, new[ridx], key[ridx]))
+        rs = ridx[ro]
+        change = np.empty(rs.size, bool)
+        change[0] = True
+        change[1:] = (key[rs][1:] != key[rs][:-1]) | (
+            new[rs][1:] != new[rs][:-1]
+        )
+        kept_rev = rs[_ranks(change) < s]
+    kept = np.concatenate([np.flatnonzero(fwd), kept_rev])
+    k2, n2, new2 = key[kept], nbr[kept], new[kept]
+
+    # dedupe (vertex, nbr, flag)
+    o = np.lexsort((new2, n2, k2))
+    k2, n2, new2 = k2[o], n2[o], new2[o]
+    if k2.size:
+        dup = (
+            (k2[1:] == k2[:-1]) & (n2[1:] == n2[:-1])
+            & (new2[1:] == new2[:-1])
+        )
+        um = np.r_[True, ~dup]
+        k2, n2, new2 = k2[um], n2[um], new2[um]
+
+    verts, vcode = np.unique(k2, return_inverse=True)
+    nv = verts.size
+
+    def padded(mask: np.ndarray) -> np.ndarray:
+        c, v = vcode[mask], n2[mask]
+        if c.size == 0:
+            return np.full((nv, 0), -1, np.int64)
+        ch = np.r_[True, c[1:] != c[:-1]]
+        r = _ranks(ch)
+        M = np.full((nv, int(r.max()) + 1), -1, np.int64)
+        M[c, r] = v
+        return M
+
+    MN, MO = padded(new2), padded(~new2)
+    wn, wo = MN.shape[1], MO.shape[1]
+    pa, pb = [], []
+    if wn >= 2:  # new x new, a<b once via upper triangle
+        iu, iv = np.triu_indices(wn, 1)
+        A, B = MN[:, iu].ravel(), MN[:, iv].ravel()
+        m = (A >= 0) & (B >= 0)
+        pa.append(A[m])
+        pb.append(B[m])
+    if wn >= 1 and wo >= 1:  # new x old
+        A = np.repeat(MN, wo, axis=1).ravel()
+        B = np.tile(MO, (1, wn)).ravel()
+        m = (A >= 0) & (B >= 0) & (A != B)
+        pa.append(A[m])
+        pb.append(B[m])
+
+    if not pa:
+        z = np.empty(0, np.int64)
+        return z, z
+    a = np.concatenate(pa)
+    b = np.concatenate(pb)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    su = np.unique(_pack2(lo, hi))  # block-level canonical dedupe
+    if excl_bc is not None and su.size:
+        su = su[~_member(excl_bc.value, su)]
+    return _unpack2(su)
+
+
 def _pairgen_kernel(s: int, l: int, seed: int, n_blocks: int, bc, excl_bc):
     """Stage 2: reverse cap + local join + in-place scoring + target cap."""
 
@@ -251,71 +347,10 @@ def _pairgen_kernel(s: int, l: int, seed: int, n_blocks: int, bc, excl_bc):
         new = pdf["is_new"].to_numpy(bool)
         fwd = pdf["fwd"].to_numpy(bool)
 
-        # reverse reservoir cap at S per (vertex, flag) — J8
-        ridx = np.flatnonzero(~fwd)
-        kept_rev = np.empty(0, np.int64)
-        if ridx.size:
-            hk = _hash_np(nbr[ridx], seed)
-            ro = np.lexsort((hk, new[ridx], key[ridx]))
-            rs = ridx[ro]
-            change = np.empty(rs.size, bool)
-            change[0] = True
-            change[1:] = (key[rs][1:] != key[rs][:-1]) | (
-                new[rs][1:] != new[rs][:-1]
-            )
-            kept_rev = rs[_ranks(change) < s]
-        kept = np.concatenate([np.flatnonzero(fwd), kept_rev])
-        k2, n2, new2 = key[kept], nbr[kept], new[kept]
-
-        # dedupe (vertex, nbr, flag)
-        o = np.lexsort((new2, n2, k2))
-        k2, n2, new2 = k2[o], n2[o], new2[o]
-        if k2.size:
-            dup = (
-                (k2[1:] == k2[:-1]) & (n2[1:] == n2[:-1])
-                & (new2[1:] == new2[:-1])
-            )
-            um = np.r_[True, ~dup]
-            k2, n2, new2 = k2[um], n2[um], new2[um]
-
-        verts, vcode = np.unique(k2, return_inverse=True)
-        nv = verts.size
-
-        def padded(mask: np.ndarray) -> np.ndarray:
-            c, v = vcode[mask], n2[mask]
-            if c.size == 0:
-                return np.full((nv, 0), -1, np.int64)
-            ch = np.r_[True, c[1:] != c[:-1]]
-            r = _ranks(ch)
-            M = np.full((nv, int(r.max()) + 1), -1, np.int64)
-            M[c, r] = v
-            return M
-
-        MN, MO = padded(new2), padded(~new2)
-        wn, wo = MN.shape[1], MO.shape[1]
-        pa, pb = [], []
-        if wn >= 2:  # new x new, a<b once via upper triangle
-            iu, iv = np.triu_indices(wn, 1)
-            A, B = MN[:, iu].ravel(), MN[:, iv].ravel()
-            m = (A >= 0) & (B >= 0)
-            pa.append(A[m])
-            pb.append(B[m])
-        if wn >= 1 and wo >= 1:  # new x old
-            A = np.repeat(MN, wo, axis=1).ravel()
-            B = np.tile(MO, (1, wn)).ravel()
-            m = (A >= 0) & (B >= 0) & (A != B)
-            pa.append(A[m])
-            pb.append(B[m])
+        lo, hi = _canonical_pairs(key, nbr, new, fwd, s, seed, excl_bc)
 
         frames = []
-        if pa:
-            a = np.concatenate(pa)
-            b = np.concatenate(pb)
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            su = np.unique(_pack2(lo, hi))  # block-level canonical dedupe
-            if excl_bc is not None and su.size:
-                su = su[~_member(excl_bc.value, su)]
-            lo, hi = _unpack2(su)
+        if lo.size:
             ids, X = bc.value
             dists = np.empty(lo.size, np.float64)
             for i in range(0, lo.size, _SCORE_CHUNK):
@@ -461,7 +496,9 @@ def nn_descent_fused(
         random_init,
     )
 
-    B = n_blocks or spark.sparkContext.defaultParallelism
+    B = n_blocks or auto_n_blocks(
+        spark.sparkContext.defaultParallelism, len(bc.value[0]), l
+    )
     excl_bc = None
     if exclude_pairs is not None:
         excl_bc = collect_exclusion(exclude_pairs, spark)

@@ -127,6 +127,34 @@ def nndescent_gate(
     )
 
 
+def nndescent_blocked_gate(
+    spark: SparkSession, emb: DataFrame, k: int = 10, max_iters: int = 4
+) -> DataFrame:
+    """Beyond-broadcast lifecycle gate: the SAME descent with the corpus
+    matrix sharded into cogrouped blocks (operators/nnd_blocked) instead
+    of broadcast — the 100-TB shape, forced at small N. The blocked loop
+    is bit-identical to the fused one (tests/test_nnd_blocked.py), so it
+    gates at the same floor."""
+    from kgraph_framework_spark.operators.knn_graph import (
+        knn_bruteforce_l2,
+        nn_descent,
+    )
+
+    graph, _metrics = nn_descent(
+        spark, emb, k=k, max_iters=max_iters, mode="blocked"
+    )
+    truth = knn_bruteforce_l2(emb, k=k)
+    return _gate_row(
+        graph.select("src", "dst"),
+        truth,
+        ["src", "dst"],
+        "blocked+nndescent",
+        F.countDistinct("src"),
+        k,
+        NNDESCENT_FLOOR_PPM,
+    )
+
+
 def kdtree_gate(
     spark: SparkSession, emb: DataFrame, k: int = 10, max_iters: int = 4
 ) -> DataFrame:
@@ -219,6 +247,15 @@ def ivf_gate_sql(k: int = 5, n_queries: int = 8) -> str:
 
 def nndescent_gate_sql(k: int = 10) -> str:
     return f"""SELECT 'nndescent' AS algo,
+  CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST({k} AS BIGINT) AS k,
+  CAST({NNDESCENT_FLOOR_PPM} AS BIGINT) AS floor_ppm,
+  CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings"""
+
+
+def nndescent_blocked_gate_sql(k: int = 10) -> str:
+    return f"""SELECT 'blocked+nndescent' AS algo,
   CAST(COUNT(*) AS BIGINT) AS n_queries,
   CAST({k} AS BIGINT) AS k,
   CAST({NNDESCENT_FLOOR_PPM} AS BIGINT) AS floor_ppm,

@@ -148,6 +148,16 @@ def q_knn_graph(spark, sf_dir):
     return nndescent_gate(spark, emb, k=10, max_iters=4)
 
 
+def q_knn_graph_blocked(spark, sf_dir):
+    """Beyond-broadcast descent gate: matrix sharded into cogrouped
+    blocks (the 100-TB shape), forced at small N; bit-identical to the
+    fused path so it gates at the same recall floor."""
+    from kgraph_framework_spark.quality import nndescent_blocked_gate
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return nndescent_blocked_gate(spark, emb, k=10, max_iters=4)
+
+
 def q_knn_graph_kdtree(spark, sf_dir):
     """KD-forest initializer lifecycle gate (reference kdtree driver)."""
     from kgraph_framework_spark.quality import kdtree_gate
@@ -289,6 +299,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # approximate + iterative: recall-vs-truth gate row (quality.py) —
     # hash-compared, so the driver certifies ANN quality
     "knn_graph_nndescent": (q_knn_graph, _quality.nndescent_gate_sql()),
+    # the SAME descent with the matrix sharded into cogrouped blocks —
+    # the beyond-broadcast 100-TB path, forced at small N
+    "knn_graph_nnd_blocked": (
+        q_knn_graph_blocked,
+        _quality.nndescent_blocked_gate_sql(),
+    ),
     # KD-forest init -> NN-descent: the reference kdtree driver (E2)
     "knn_graph_kdtree": (q_knn_graph_kdtree, _quality.kdtree_gate_sql()),
     # CLSH init -> NN-descent with same-bucket skip: rplsh driver (E3)
