@@ -232,5 +232,5 @@ SELECT doc_id,
   md5(substring(hx, 1, 32)) AS head_md5,
   CAST(COALESCE(list_sum(list_transform(generate_series(1, least(16, nb)),
        i -> {pair})), 0) AS BIGINT) AS byte_sum_16,
-  'stub-v1' AS decoder
+  'bytes-v1' AS decoder
 FROM hx"""

@@ -44,6 +44,14 @@ from pyspark.sql import functions as F
 
 EMB_SCHEMA = "vec_id long, embedding array<float>"
 
+#: fold the delta log into a new base once this many generations exist,
+#: INDEPENDENT of the refresh cadence — in a long-lived stream with
+#: refresh_every=0 the log (and read_graph's union + max(gen) shuffle)
+#: would otherwise grow without bound with batch count. Pure log
+#: compaction: the folded base is exactly read_graph's output, no
+#: descent pass, so the graph is unchanged (tests/test_streaming.py).
+COMPACT_AFTER_DELTAS = 8
+
 _DELTA_RE = re.compile(r"^delta-(\d{8})$")
 
 
@@ -130,6 +138,7 @@ def apply_embedding_batch(
     k: int = 10,
     refresh: bool = False,
     batch_id: int | None = None,
+    compact_after: int = COMPACT_AFTER_DELTAS,
     **add_kw,
 ) -> None:
     """Insert one batch of embeddings into the maintained graph state.
@@ -138,6 +147,9 @@ def apply_embedding_batch(
     run the incremental graph_add and append ONLY the touched-vertex
     pools as a new delta generation; ``refresh`` runs a full NN-descent
     pass seeded from the maintained graph and compacts the delta log.
+    Independent of the refresh cadence, once ``compact_after`` delta
+    generations accumulate the log is folded into a new base (graph
+    content unchanged) so read_graph stays bounded in a long stream.
     """
     from kgraph_framework_spark.operators.knn_graph import nn_descent
     from kgraph_framework_spark.operators.knn_search import graph_add
@@ -179,6 +191,10 @@ def apply_embedding_batch(
             _atomic_dir(
                 delta, os.path.join(_graph_dir(work_dir), f"delta-{gen:08d}")
             )
+            if compact_after and len(
+                _list_deltas(_graph_dir(work_dir))
+            ) >= compact_after:
+                _commit_base(spark, read_graph(spark, work_dir), work_dir)
         new.write.mode("append").parquet(corpus_path)
     if batch_id is not None:
         _ledger_commit(work_dir, batch_id)
@@ -191,13 +207,15 @@ def maintain_knn_graph(
     checkpoint_dir: str,
     k: int = 10,
     refresh_every: int = 0,
+    compact_after: int = COMPACT_AFTER_DELTAS,
     await_termination: bool = True,
 ):
     """Streaming maintainer: embedding parquet dir -> live kNN graph.
 
     ``refresh_every`` > 0 runs the full-descent refresh + delta-log
-    compaction on every Nth micro-batch. ``availableNow`` drains the
-    backlog then stops (drop the trigger for continuous ingestion).
+    compaction on every Nth micro-batch; ``compact_after`` bounds the
+    delta log regardless. ``availableNow`` drains the backlog then
+    stops (drop the trigger for continuous ingestion).
     """
     stream = (
         spark.readStream.schema(EMB_SCHEMA)
@@ -209,7 +227,7 @@ def maintain_knn_graph(
         refresh = bool(refresh_every) and (batch_id + 1) % refresh_every == 0
         apply_embedding_batch(
             spark, batch_df, work_dir, k=k, refresh=refresh,
-            batch_id=batch_id,
+            batch_id=batch_id, compact_after=compact_after,
         )
 
     q = (

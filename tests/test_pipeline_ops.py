@@ -210,7 +210,7 @@ class TestMultimodal:
                 payload[:16].hex().upper().encode()
             ).hexdigest()
             assert f["byte_sum_16"] == sum(payload[:16])
-            assert f["decoder"] == "stub-v1"
+            assert f["decoder"] == "bytes-v1"
 
     def test_oracle_agrees_on_non_ascii(self, spark):
         """The DuckDB twin must be BYTE-based: multi-byte UTF-8 text broke
@@ -245,11 +245,57 @@ class TestMultimodal:
         ).fetchall():
             assert got[doc_id] == (nb, hm, bs), doc_id
 
-    def test_real_media_type_raises(self):
-        from kgraph_framework_spark.operators.multimodal import _decode_stub
+    def test_byte_features_total_over_media_types(self, spark):
+        """The built-in decoder is TOTAL: non-text media types get byte
+        features too (the opaque-binary contract — nothing raises)."""
+        from kgraph_framework_spark.operators.multimodal import (
+            byte_features,
+            extract_features,
+        )
 
-        with pytest.raises(NotImplementedError):
-            _decode_stub(b"\x89PNG", "image/png")
+        png = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
+        df = spark.createDataFrame(
+            [(7, bytearray(png), "image/png", len(png))],
+            "doc_id long, payload binary, media_type string, n_bytes long",
+        )
+        row = extract_features(df).collect()[0]
+        want = byte_features(png)
+        assert row["n_bytes"] == want["n_bytes"]
+        assert row["head_md5"] == want["head_md5"]
+        assert row["byte_sum_16"] == want["byte_sum_16"]
+        assert row["decoder"] == "bytes-v1"
+
+    def test_decode_media_extension_point(self, spark):
+        """decode_media supplies the Arrow plumbing for a deployment's
+        own codec: a fake 'decoder' (deterministic, codec-free) sees
+        batch-shaped pandas input and its schema round-trips."""
+        import pandas as pd
+
+        from kgraph_framework_spark.operators.multimodal import (
+            binary_corpus,
+            decode_media,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"payload body {i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+
+        def fake_decoder(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [len(p) % 7 for p in pdf["payload"]],
+                }
+            )
+
+        out = decode_media(
+            binary_corpus(docs), fake_decoder, "doc_id long, width int"
+        )
+        got = {r["doc_id"]: r["width"] for r in out.collect()}
+        assert got == {
+            i: len(f"payload body {i}".encode()) % 7 for i in range(10)
+        }
 
 
 class TestSkyline:

@@ -161,6 +161,49 @@ class TestKnnMaintenance:
         assert g.groupBy("src").count().agg(F.max("count")).first()[0] <= k
         emb.unpersist()
 
+    def test_size_triggered_compaction_bounds_delta_log(self, spark, tmp_path):
+        """With refresh disabled, the delta log must still stay bounded:
+        after 2x the compaction threshold of micro-batches there are at
+        most `threshold` generations on disk and the folded graph is
+        identical to the unbounded-log graph (r3 advice: read_graph's
+        union grows with batch count otherwise)."""
+        from kgraph_framework_spark.streaming.knn_maintain import (
+            _list_deltas,
+            apply_embedding_batch,
+            read_graph,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding").persist()
+        threshold = 3
+        n_batches = 2 * threshold
+        work_c = str(tmp_path / "knn_compact")
+        work_u = str(tmp_path / "knn_unbounded")
+        base = emb.where(F.col("vec_id") >= n_batches)
+        for work, compact in ((work_c, threshold), (work_u, 0)):
+            apply_embedding_batch(
+                spark, base, work, k=10, batch_id=0, compact_after=compact
+            )
+            for i in range(n_batches):
+                batch = emb.where(F.col("vec_id") == i)
+                apply_embedding_batch(
+                    spark, batch, work, k=10, batch_id=i + 1,
+                    compact_after=compact,
+                )
+        assert len(_list_deltas(f"{work_u}/graph")) == n_batches
+        assert len(_list_deltas(f"{work_c}/graph")) < threshold
+        got = sorted(
+            (r["src"], r["dst"], r["dist"])
+            for r in read_graph(spark, work_c).collect()
+        )
+        want = sorted(
+            (r["src"], r["dst"], r["dist"])
+            for r in read_graph(spark, work_u).collect()
+        )
+        assert got == want  # compaction is a pure log fold
+        emb.unpersist()
+
     def test_replayed_batch_is_skipped_by_ledger(self, spark, tmp_path):
         from kgraph_framework_spark.streaming.knn_maintain import (
             apply_embedding_batch,

@@ -127,6 +127,12 @@ def main() -> None:
     ap.add_argument("--l", type=int, default=None)
     ap.add_argument("--s", type=int, default=None)
     ap.add_argument("--dim", type=int, default=DIM)
+    ap.add_argument(
+        "--mode", choices=("auto", "fused", "blocked", "join"),
+        default="auto",
+        help="descent engine: 'blocked' forces the beyond-broadcast "
+        "cogroup-gather path at any corpus size (the 100-TB shape)",
+    )
     args = ap.parse_args()
     n_vecs, k, cores, iters = args.n_vecs, args.k, args.cores, args.iters
 
@@ -150,7 +156,8 @@ def main() -> None:
         else None
     )
     graph, metrics = nn_descent(
-        spark, emb, k=k, l=args.l, s=args.s, max_iters=iters, init=init
+        spark, emb, k=k, l=args.l, s=args.s, max_iters=iters, init=init,
+        mode=args.mode,
     )
     graph = graph.persist()
     n_edges = graph.count()
@@ -166,6 +173,7 @@ def main() -> None:
     result = {
         "n_vecs": n_vecs,
         "dim": DIM,
+        "mode": args.mode,
         "init": args.init,
         "l": args.l,
         "s": args.s,
@@ -182,7 +190,7 @@ def main() -> None:
     md = f"""
 ## Mid-scale kNN-graph build ({n_vecs:,} x {DIM}-d, local[{cores}])
 
-{args.init} init + NN-descent ({result['rounds']} rounds), k={k}, l={args.l}, s={args.s}; sampled
+{args.init} init + NN-descent ({result['rounds']} rounds, mode={args.mode}), k={k}, l={args.l}, s={args.s}; sampled
 recall vs exact brute-force over {result['sample_queries']} queries
 (tools/knn_midscale_bench.py, deterministic clustered vectors).
 

@@ -9,7 +9,8 @@ single sandbox box all workers share one controller, so a bandwidth-bound
 job's apparent scaling efficiency is capped by THIS probe's number, not
 by 1.0. The probe replicates the superstep's access pattern — random
 index gather + scatter-add over arrays far larger than LLC — in separate
-processes (no GIL, no shared state) and reports aggregate element
+processes (no GIL, no shared state), synchronized on a start barrier so
+every worker's timed window overlaps, and reports aggregate element
 throughput at both parallelism levels, interleaved best-of-3 like
 tools/scaling_bench.py.
 
@@ -25,30 +26,48 @@ import os
 import sys
 import time
 
-import numpy as np
+# pin BLAS to 1 thread BEFORE numpy loads (OpenBLAS reads these at
+# import time; forked children inherit the already-initialized numpy) —
+# protocol parity with scaling_bench's pinned workers
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+import numpy as np  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+N_ITERS = 4
 
-def _worker(seed: int, n_elems: int, n_ops: int, out_q) -> None:
-    # pin BLAS to 1 thread (protocol parity with scaling_bench)
+
+def _worker(seed: int, n_elems: int, n_ops: int, barrier, out_q) -> None:
     rng = np.random.default_rng(seed)
     src = rng.random(n_elems, dtype=np.float64)          # 8 B/elem, >> LLC
     idx = rng.integers(0, n_elems, size=n_ops)           # random gather idx
     dst_idx = rng.integers(0, n_elems, size=n_ops)       # random scatter idx
     acc = np.zeros(n_elems, dtype=np.float64)
+    # all workers finish their ~GB of setup before ANY starts timing, so
+    # the compute windows fully overlap and sum(ops)/max(wall) is a true
+    # aggregate-throughput measurement (not inflated by staggered starts)
+    barrier.wait()
     t0 = time.monotonic()
-    for _ in range(4):
-        g = src[idx]                                     # gather
-        np.add.at(acc, dst_idx[: n_ops // 4], g[: n_ops // 4])  # scatter-add
+    for _ in range(N_ITERS):
+        g = src[idx]                                     # gather: n_ops
+        np.add.at(acc, dst_idx[: n_ops // 4], g[: n_ops // 4])  # n_ops//4
     wall = time.monotonic() - t0
-    out_q.put((4 * n_ops, wall, float(acc[:8].sum() + g[:8].sum())))
+    # element-ops actually performed: N_ITERS gathers of n_ops plus
+    # N_ITERS scatter-adds of n_ops//4
+    ops = N_ITERS * n_ops + N_ITERS * (n_ops // 4)
+    out_q.put((ops, wall, float(acc[:8].sum() + g[:8].sum())))
 
 
 def run_level(n_procs: int, n_elems: int, n_ops: int) -> dict:
     q: mp.Queue = mp.Queue()
+    barrier = mp.Barrier(n_procs)
     procs = [
-        mp.Process(target=_worker, args=(1000 + i, n_elems, n_ops, q))
+        mp.Process(
+            target=_worker, args=(1000 + i, n_elems, n_ops, barrier, q)
+        )
         for i in range(n_procs)
     ]
     for p in procs:
@@ -56,14 +75,14 @@ def run_level(n_procs: int, n_elems: int, n_ops: int) -> dict:
     results = [q.get() for _ in procs]
     for p in procs:
         p.join()
-    # compute-only walls reported by the workers (setup/rng excluded);
-    # workers start together and setup cost is uniform, so the slowest
-    # worker's compute wall spans the overlapped measurement window
+    # barrier-synchronized compute windows: the slowest worker's wall
+    # spans the overlapped measurement window
     wall = max(r[1] for r in results)
     total_ops = sum(r[0] for r in results)
     return {
         "procs": n_procs,
         "wall_sec": round(wall, 3),
+        "per_worker_walls": [round(r[1], 3) for r in results],
         "agg_elems_per_sec": round(total_ops / wall),
     }
 
@@ -73,8 +92,6 @@ def main() -> None:
     n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_elems = int(sys.argv[3]) if len(sys.argv) > 3 else 64_000_000  # 512 MB
     n_ops = int(sys.argv[4]) if len(sys.argv) > 4 else 50_000_000
-    os.environ.setdefault("OMP_NUM_THREADS", "1")
-    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     lows, highs = [], []
     for i in range(3):
         lows.append(run_level(n_low, n_elems, n_ops))
@@ -85,30 +102,38 @@ def main() -> None:
     low = max(lows, key=lambda r: r["agg_elems_per_sec"])
     high = max(highs, key=lambda r: r["agg_elems_per_sec"])
     ratio = high["agg_elems_per_sec"] / low["agg_elems_per_sec"]
-    eff = ratio / (n_high / n_low)
+    ideal = n_high / n_low
+    eff = ratio / ideal
+    ws_mb = n_elems * 8 // 1_000_000
     result = {
-        "pattern": "random gather + scatter-add, 512MB working set/proc",
+        "pattern": (
+            f"random gather + scatter-add, {ws_mb}MB working set/proc"
+        ),
         "low": low,
         "high": high,
+        "all_lows": [r["agg_elems_per_sec"] for r in lows],
+        "all_highs": [r["agg_elems_per_sec"] for r in highs],
         "speedup": round(ratio, 3),
+        "ideal": round(ideal, 2),
         "bandwidth_scaling_ceiling": round(eff, 3),
     }
     print(json.dumps(result))
     md = f"""
 ## Host DRAM gather-scatter ceiling ({n_low} vs {n_high} processes)
 
-Random-index gather + scatter-add over {n_elems * 8 // 1_000_000} MB/process
+Random-index gather + scatter-add over {ws_mb} MB/process
 working sets in independent processes (tools/membw_probe.py, best-of-3
-interleaved) — the PageRank superstep's access pattern with zero framework
-overhead. This bounds any bandwidth-bound job's apparent scaling on this
-box; a real N->4N executor scale-out multiplies memory channels by 4.
+interleaved, barrier-synchronized compute windows) — the PageRank
+superstep's access pattern with zero framework overhead. This bounds any
+bandwidth-bound job's apparent scaling on this box; a real N->4N
+executor scale-out multiplies memory channels by 4.
 
-| processes | aggregate elems/sec |
-|---|---|
-| {n_low} | {low['agg_elems_per_sec']:,} |
-| {n_high} | {high['agg_elems_per_sec']:,} |
+| processes | aggregate elems/sec (best) | all runs |
+|---|---|---|
+| {n_low} | {low['agg_elems_per_sec']:,} | {result['all_lows']} |
+| {n_high} | {high['agg_elems_per_sec']:,} | {result['all_highs']} |
 
-Speedup {n_low}->{n_high}: **{result['speedup']}x** of {n_high // n_low}x ideal ->
+Speedup {n_low}->{n_high}: **{result['speedup']}x** of {result['ideal']}x ideal ->
 host bandwidth-scaling ceiling **{result['bandwidth_scaling_ceiling']}** for this
 access pattern.
 """
