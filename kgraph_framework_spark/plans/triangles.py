@@ -10,13 +10,19 @@ neighbors never becomes the wedge pivot (cf. the reference's work-stealing
 scheduled). Counts are orientation-invariant, so the id-oriented DuckDB
 oracle agrees exactly.
 
-Two physical strategies, same exact counts:
+Three physical strategies, same exact counts:
 
-* DEFAULT — sorted-adjacency intersection (HERO-style, PAPERS.md):
-  oriented edges join their endpoints' sorted out-adjacency arrays once
-  and an Arrow kernel intersects them; no wedge table is ever
-  materialized (the wedge count is sum-of-squared-oriented-degrees —
-  the dominant shuffle at dense/skewed graphs).
+* DEFAULT (round 4) — CSR-block intersection: the oriented adjacency is
+  packed ONCE into per-partition CSR rows (the operators/csr.py layout)
+  and the per-edge sorted-array intersection runs as a two-stage
+  cogroup gather (the nnd_blocked pattern): edges key to part(a) and
+  pick up their a-side adjacency from the co-grouped CSR block — each
+  distinct vertex's list shipped at most once per (p, q) cell, not once
+  per edge — then cells key to q = part(b), pick up the b-side lists
+  from block q, intersect, and emit PRE-AGGREGATED per-cell credit rows.
+  No per-edge nested-array replication ever crosses a shuffle.
+* adjacency-join (``engine="arrays"``) — endpoints' collect_list arrays
+  joined per edge; the round-3 default, kept for cross-checks.
 * wedge-join (``*_wedge`` variants) — plain equi-joins; kept for
   cross-checks and benchmarks.
 """
@@ -139,6 +145,173 @@ def _edge_commons(edges: DataFrame) -> DataFrame:
     return _common_neighbors(with_adj)
 
 
+ADJ_SCHEMA = "part_id int, src_ids array<long>, indptr array<long>, dst_ids array<long>"
+CELL_SCHEMA = (
+    "q int, a array<long>, b array<long>, u_ids array<long>, "
+    "u_indptr array<long>, u_flat array<long>"
+)
+
+
+def _slice_gather(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """Concatenate flat[starts[i]:starts[i]+lens[i]] — vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, flat.dtype)
+    r = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    return flat[np.repeat(starts, lens) + r]
+
+
+def _oriented_csr(o: DataFrame, n_parts: int) -> DataFrame:
+    """Pack the oriented adjacency into per-partition CSR rows — the
+    operators/csr.py layout (SURVEY §1.3 CompactGraph analog), built once
+    and cogrouped into both gather stages."""
+    from kgraph_framework_spark.operators.csr import part_col
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["a", "b"], kind="mergesort")
+        src = pdf["a"].to_numpy(np.int64)
+        uniq, starts = np.unique(src, return_index=True)
+        indptr = np.append(starts, len(src)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].iloc[0])],
+                "src_ids": [uniq],
+                "indptr": [indptr],
+                "dst_ids": [pdf["b"].to_numpy(np.int64)],
+            }
+        )
+
+    return (
+        o.withColumn("part_id", part_col(F.col("a"), n_parts))
+        .repartition(n_parts, "part_id")
+        .groupBy("part_id")
+        .applyInPandas(pack, schema=ADJ_SCHEMA)
+    )
+
+
+def _cell_kernel(n_parts: int):
+    """Stage 1: attach a-side adjacency, bucket edges by q = part(b),
+    ship each distinct a's list once per (p, q) cell."""
+
+    def fn(edges_pdf: pd.DataFrame, csr_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {"q": "int32", "a": "object", "b": "object",
+                "u_ids": "object", "u_indptr": "object", "u_flat": "object"}
+        if edges_pdf.empty or csr_pdf.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        src_ids = np.asarray(csr_pdf["src_ids"].iloc[0], np.int64)
+        indptr = np.asarray(csr_pdf["indptr"].iloc[0], np.int64)
+        dst = np.asarray(csr_pdf["dst_ids"].iloc[0], np.int64)
+        a = edges_pdf["a"].to_numpy(np.int64)
+        b = edges_pdf["b"].to_numpy(np.int64)
+        q = (b % n_parts).astype(np.int32)
+        o = np.argsort(q, kind="stable")
+        a, b, q = a[o], b[o], q[o]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        bounds = np.append(starts, q.size)
+        rows: dict[str, list] = {c: [] for c in cols}
+        for i in range(starts.size):  # <= n_parts cells
+            lo_, hi_ = bounds[i], bounds[i + 1]
+            a_, b_ = a[lo_:hi_], b[lo_:hi_]
+            ua = np.unique(a_)
+            ia = np.searchsorted(src_ids, ua)
+            lens = indptr[ia + 1] - indptr[ia]
+            rows["q"].append(int(q[lo_]))
+            rows["a"].append(a_)
+            rows["b"].append(b_)
+            rows["u_ids"].append(ua)
+            rows["u_indptr"].append(np.append(0, np.cumsum(lens)))
+            rows["u_flat"].append(_slice_gather(dst, indptr[ia], lens))
+        return pd.DataFrame(rows)
+
+    return fn
+
+
+def _credit_kernel():
+    """Stage 2: gather b-side adjacency from block q, intersect both
+    sorted lists per edge (batch lexsort, no per-edge Python), and emit
+    per-cell PRE-AGGREGATED triangle credits (vertex, t): |C| to each
+    endpoint, 1 to each common neighbor."""
+
+    def fn(cells_pdf: pd.DataFrame, csr_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vertex": pd.Series(dtype="int64"), "t": pd.Series(dtype="int64")}
+        )
+        if cells_pdf.empty or csr_pdf.empty:
+            # no out-adjacency in this block -> every nb is empty
+            return empty
+        src2 = np.asarray(csr_pdf["src_ids"].iloc[0], np.int64)
+        iptr2 = np.asarray(csr_pdf["indptr"].iloc[0], np.int64)
+        dst2 = np.asarray(csr_pdf["dst_ids"].iloc[0], np.int64)
+        vs, ws = [], []
+        for row in cells_pdf.itertuples(index=False):  # <= n_parts cells
+            a = np.asarray(row.a, np.int64)
+            b = np.asarray(row.b, np.int64)
+            u_ids = np.asarray(row.u_ids, np.int64)
+            u_iptr = np.asarray(row.u_indptr, np.int64)
+            u_flat = np.asarray(row.u_flat, np.int64)
+            n = a.size
+            pa = np.searchsorted(u_ids, a)
+            la = u_iptr[pa + 1] - u_iptr[pa]
+            na_vals = _slice_gather(u_flat, u_iptr[pa], la)
+            pb = np.searchsorted(src2, b)
+            ok = pb < src2.size
+            present = ok & (src2[np.where(ok, pb, 0)] == b)
+            pb = np.where(present, pb, 0)
+            lb = np.where(present, iptr2[pb + 1] - iptr2[pb], 0)
+            nb_vals = _slice_gather(dst2, iptr2[pb], lb)
+            vals = np.concatenate([na_vals, nb_vals])
+            rows_ = np.concatenate(
+                [np.repeat(np.arange(n, dtype=np.int64), la),
+                 np.repeat(np.arange(n, dtype=np.int64), lb)]
+            )
+            o = np.lexsort((vals, rows_))
+            ro, vo = rows_[o], vals[o]
+            dup = (ro[1:] == ro[:-1]) & (vo[1:] == vo[:-1]) if ro.size else (
+                np.zeros(0, bool)
+            )
+            hit_rows, hit_vals = ro[1:][dup], vo[1:][dup]
+            cnts = np.bincount(hit_rows, minlength=n).astype(np.int64)
+            vs.append(np.concatenate([a, b, hit_vals]))
+            ws.append(np.concatenate([cnts, cnts,
+                                      np.ones(hit_vals.size, np.int64)]))
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        m = w > 0
+        v, w = v[m], w[m]
+        if v.size == 0:
+            return empty
+        uv, code = np.unique(v, return_inverse=True)
+        agg = np.zeros(uv.size, np.int64)
+        np.add.at(agg, code, w)
+        return pd.DataFrame({"vertex": uv, "t": agg})
+
+    return fn
+
+
+def _csr_credits(edges: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """Per-vertex triangle credits via the CSR two-stage cogroup gather."""
+    from kgraph_framework_spark.operators.csr import part_col
+
+    spark = edges.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    o = _oriented(edges)
+    csr = _oriented_csr(o, n_parts).persist()
+    keyed = o.select(part_col(F.col("a"), n_parts).alias("part_id"), "a", "b")
+    cells = (
+        keyed.groupBy("part_id")
+        .cogroup(csr.groupBy("part_id"))
+        .applyInPandas(_cell_kernel(n_parts), CELL_SCHEMA)
+    )
+    return (
+        cells.groupBy("q")
+        .cogroup(csr.groupBy("part_id"))
+        .applyInPandas(_credit_kernel(), "vertex long, t long")
+    )
+
+
 def count_triangles(edges: DataFrame) -> int:
     """Exact global triangle count (sorted-adjacency intersection)."""
     row = (
@@ -154,14 +327,26 @@ def count_triangles_wedge(edges: DataFrame) -> int:
     return _triangle_rows(edges).count()
 
 
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+def triangles_per_vertex(
+    edges: DataFrame, engine: str = "csr", n_parts: int | None = None
+) -> DataFrame:
     """(vertex, triangles) — number of triangles each vertex belongs to.
 
-    Sorted-adjacency intersection path: per oriented edge (a,b) with
-    common set C, credit |C| to a and b and 1 to every c ∈ C. Vertices
-    in no triangle are omitted (join with the vertex set and coalesce(0)
-    if a dense output is needed).
+    Per oriented edge (a,b) with common set C, credit |C| to a and b and
+    1 to every c ∈ C. Vertices in no triangle are omitted (join with the
+    vertex set and coalesce(0) if a dense output is needed).
+
+    ``engine="csr"`` (default): packed-adjacency cogroup gather — the
+    adjacency is built once as CSR blocks and reused by both gather
+    stages; credits are pre-aggregated per cell before the final sum.
+    ``engine="arrays"``: per-edge collect_list adjacency joins (the
+    round-3 path, value-identical, kept for cross-checks).
     """
+    if engine == "csr":
+        credits = _csr_credits(edges, n_parts)
+        return credits.groupBy("vertex").agg(
+            F.sum("t").cast("long").alias("triangles")
+        )
     pe = _edge_commons(edges).where(F.size("cs") > 0)
     credits = (
         pe.select(F.col("a").alias("vertex"), F.size("cs").alias("t"))

@@ -195,3 +195,27 @@ class TestTriangles:
         b = {r["vertex"]: r["triangles"]
              for r in triangles_per_vertex_wedge(e).collect()}
         assert a == b
+
+    def test_csr_engine_equals_arrays_engine(self, spark):
+        """The CSR cogroup-gather default must match the per-edge
+        adjacency-join path exactly, including across partition counts
+        (cells, packs, and pre-aggregated credits are internal)."""
+        rng = np.random.default_rng(23)
+        rows = []
+        seen = set()
+        for _ in range(400):
+            a, b = map(int, rng.integers(0, 60, 2))
+            if a != b and (min(a, b), max(a, b)) not in seen:
+                seen.add((min(a, b), max(a, b)))
+                rows.append((a, b, 1.0))
+        e = edges_df(spark, rows)
+        want = {r["vertex"]: r["triangles"]
+                for r in triangles_per_vertex(e, engine="arrays").collect()}
+        for n_parts in (1, 3, 16):
+            got = {
+                r["vertex"]: r["triangles"]
+                for r in triangles_per_vertex(
+                    e, engine="csr", n_parts=n_parts
+                ).collect()
+            }
+            assert got == want, f"n_parts={n_parts}"
