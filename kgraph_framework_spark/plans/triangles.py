@@ -312,8 +312,20 @@ def _csr_credits(edges: DataFrame, n_parts: int | None = None) -> DataFrame:
     )
 
 
-def count_triangles(edges: DataFrame) -> int:
-    """Exact global triangle count (sorted-adjacency intersection)."""
+def count_triangles(
+    edges: DataFrame, engine: str = "csr", n_parts: int | None = None
+) -> int:
+    """Exact global triangle count.
+
+    CSR engine: every triangle contributes exactly 3 credits (|C| to
+    each endpoint of its closing edge, 1 to the common neighbor), so the
+    count is sum(credits) / 3 — exact integer division by construction.
+    """
+    if engine == "csr":
+        row = _csr_credits(edges, n_parts).agg(
+            F.coalesce(F.sum("t"), F.lit(0)).alias("t")
+        ).first()
+        return int(row["t"]) // 3
     row = (
         _edge_commons(edges)
         .agg(F.coalesce(F.sum(F.size("cs")), F.lit(0)).alias("t"))
