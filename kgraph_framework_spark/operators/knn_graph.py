@@ -20,11 +20,13 @@ Pipeline (reference lifecycle E1, SURVEY.md §3):
     -> convergence when the update rate falls below a threshold
        (reference: sampled recall > 0.99, :172-173)
 
-Determinism: every sample is ordered by a seeded portable hash of
-(superstep, src, dst) — no rand() in hot paths (the reference's
-unseeded-rand hazard, SURVEY.md §4) — and all pool orderings tie-break
-by (dist, id) exactly like the reference's Neighbor ordering
-(include/commom/neighbor.h:24-34).
+Determinism: forward samples are the TOP-OF-POOL S per flag, ordered by
+(dist, dst) — the reference's update() scans pools in ascending distance
+order (src/index_graph.cpp:62-77) — and the reverse reservoir is ordered
+by a seeded portable hash (its reference counterpart is rand()-based,
+the unseeded-rand hazard of SURVEY.md §4; ours is reproducible). All
+pool orderings tie-break by (dist, id) exactly like the reference's
+Neighbor ordering (include/commom/neighbor.h:24-34).
 
 Scale design: the candidate-pair generation is a per-vertex self-join of
 bounded sample lists (<= 2S ids per vertex -> <= (2S)^2 pairs), so the
@@ -339,11 +341,11 @@ def nn_descent(
     metrics: list[dict] = []
 
     for it in range(max_iters):
-        # --- sample S new and S old per vertex (update(), :62-77) ---
+        # --- sample S new and S old per vertex: TOP-OF-POOL, the S
+        # closest per flag by (dist, dst) — the reference scans pools in
+        # ascending distance order (update(), :62-77) ---
         sampled = pool.withColumn("srn", F.row_number().over(
-            Window.partitionBy("src", "is_new").orderBy(
-                _hash_order(F.col("dst"), F.lit(seed + it * 3 + 1))
-            )
+            Window.partitionBy("src", "is_new").orderBy("dist", "dst")
         )).where(F.col("srn") <= s)
 
         fwd = sampled.select("src", "dst", "is_new")

@@ -225,7 +225,19 @@ def score_sym_topk(pairs: DataFrame, bc, k: int) -> DataFrame:
 
 
 def _sample_kernel(s: int, seed: int, n_blocks: int):
-    """Stage 1: per-vertex S new + S old samples, emitted fwd + rev."""
+    """Stage 1: per-vertex S new + S old samples, emitted fwd + rev.
+
+    Samples are TOP-OF-POOL — the S closest entries per flag, by (dist,
+    dst) — matching the reference's update(), which scans each pool in
+    ascending distance order and takes flagged entries until S are seen
+    (/root/reference/src/index_graph.cpp:62-77). At small S (the SIFT1M
+    parameterization S=10, L=70) this IS the descent gradient: joining
+    the closest candidates' neighborhoods is what makes the graph
+    descend; a hash-random S of a 70-pool (rounds 2-3 of this engine)
+    converges only when S is a large fraction of L. ``seed`` is kept for
+    signature stability; forward sampling no longer uses it (the reverse
+    reservoir in pairgen still does).
+    """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -233,8 +245,8 @@ def _sample_kernel(s: int, seed: int, n_blocks: int):
         src = pdf["src"].to_numpy(np.int64)
         dst = pdf["dst"].to_numpy(np.int64)
         new = pdf["is_new"].to_numpy(bool)
-        hk = _hash_np(dst, seed)
-        order = np.lexsort((hk, new, src))
+        dist = pdf["dist"].to_numpy(np.float64)
+        order = np.lexsort((dst, dist, new, src))
         src_s, dst_s, new_s = src[order], dst[order], new[order]
         change = np.empty(order.size, bool)
         change[0] = True

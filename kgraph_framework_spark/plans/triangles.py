@@ -297,7 +297,7 @@ def _csr_credits(edges: DataFrame, n_parts: int | None = None) -> DataFrame:
     spark = edges.sparkSession
     if n_parts is None:
         n_parts = spark.sparkContext.defaultParallelism
-    o = _oriented(edges)
+    o = _oriented(edges).persist()  # feeds both the CSR pack and the stream
     csr = _oriented_csr(o, n_parts).persist()
     keyed = o.select(part_col(F.col("a"), n_parts).alias("part_id"), "a", "b")
     cells = (

@@ -46,16 +46,28 @@ N_CLUSTERS = 256
 N_QUERIES = 200
 
 
-def synth_vectors(spark, n_vecs: int, parts: int, dim: int = DIM):
-    """Clustered deterministic vectors: id -> cluster center + noise."""
+def _u(col, salt):
     from pyspark.sql import functions as F
 
-    def u(col, salt):
-        return (
-            F.pmod(col * F.lit(2654435761 + salt * 97), F.lit(1 << 31))
-            / F.lit(float(1 << 31))
-            - F.lit(0.5)
-        )
+    return (
+        F.pmod(col * F.lit(2654435761 + salt * 97), F.lit(1 << 31))
+        / F.lit(float(1 << 31))
+        - F.lit(0.5)
+    )
+
+
+def synth_vectors(spark, n_vecs: int, parts: int, dim: int = DIM):
+    """Clustered deterministic vectors: id -> cluster center + noise.
+
+    FLAT structure: one level of overlapping clusters with isotropic
+    full-dimension noise. At high dim this concentrates — all cluster
+    siblings become nearly equidistant, so the within-cluster kNN
+    ordering carries no descent-exploitable gradient (measured: 128-d
+    1M at the reference's S=10 parameterization stalls at recall 0.017).
+    Kept for continuity with round 2-3 numbers; use synth_vectors_hier
+    for reference-corpus-like (SIFT-like) local structure.
+    """
+    from pyspark.sql import functions as F
 
     cid = F.pmod(F.col("id"), F.lit(N_CLUSTERS))
     return (
@@ -67,8 +79,45 @@ def synth_vectors(spark, n_vecs: int, parts: int, dim: int = DIM):
                 # center spread ~ noise spread: clusters overlap, so the
                 # kNN structure is non-trivial (recall < 1 is possible)
                 lambda j: (
-                    u(cid * dim + j, 13) * F.lit(2.0)
-                    + u(F.col("id") * dim + j, 7) * F.lit(1.5)
+                    _u(cid * dim + j, 13) * F.lit(2.0)
+                    + _u(F.col("id") * dim + j, 7) * F.lit(1.5)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .repartition(parts)
+    )
+
+
+def synth_vectors_hier(spark, n_vecs: int, parts: int, dim: int = DIM):
+    """SIFT-like deterministic vectors: hierarchical clusters + noise
+    with decaying per-dimension amplitude (low EFFECTIVE dimensionality).
+
+    Real descriptor corpora (SIFT: 128-d with effective dim ~10-20) have
+    multi-scale locality: points live in tight fine clusters inside
+    coarser ones, and within-cluster distances are governed by a few
+    dominant directions, so nearest-neighbor lists are transitive —
+    exactly what NN-descent exploits. Two levels (fine clusters of ~64
+    points, 64 fine per coarse) + 1/(1+j/4)-decaying noise reproduce
+    that structure; the flat generator's isotropic high-dim noise does
+    not (distance concentration kills the gradient).
+    """
+    from pyspark.sql import functions as F
+
+    fine_n = max(64, n_vecs // 64)
+    coarse_n = max(16, fine_n // 64)
+    fine = F.pmod(F.col("id"), F.lit(fine_n))
+    coarse = F.pmod(fine, F.lit(coarse_n))
+    return (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    _u(coarse * dim + j, 13) * F.lit(2.0)
+                    + _u(fine * dim + j, 29) * F.lit(0.8)
+                    + _u(F.col("id") * dim + j, 7)
+                    * (F.lit(1.5) / (F.lit(1.0) + j.cast("double") / F.lit(4.0)))
                 ).cast("float"),
             ).alias("embedding"),
         )
@@ -133,6 +182,12 @@ def main() -> None:
         help="descent engine: 'blocked' forces the beyond-broadcast "
         "cogroup-gather path at any corpus size (the 100-TB shape)",
     )
+    ap.add_argument(
+        "--structure", choices=("flat", "hier"), default="flat",
+        help="synthetic corpus geometry: 'hier' = SIFT-like multi-scale "
+        "clusters + low-effective-dim noise (use for reference-"
+        "parameterized like-for-like points)",
+    )
     args = ap.parse_args()
     n_vecs, k, cores, iters = args.n_vecs, args.k, args.cores, args.iters
 
@@ -146,7 +201,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     DIM = args.dim
-    emb = synth_vectors(spark, n_vecs, cores * 2, dim=args.dim).persist()
+    gen = synth_vectors_hier if args.structure == "hier" else synth_vectors
+    emb = gen(spark, n_vecs, cores * 2, dim=args.dim).persist()
     emb.count()
 
     t0 = time.monotonic()
@@ -174,6 +230,7 @@ def main() -> None:
         "n_vecs": n_vecs,
         "dim": DIM,
         "mode": args.mode,
+        "structure": args.structure,
         "init": args.init,
         "l": args.l,
         "s": args.s,
@@ -192,7 +249,7 @@ def main() -> None:
 
 {args.init} init + NN-descent ({result['rounds']} rounds, mode={args.mode}), k={k}, l={args.l}, s={args.s}; sampled
 recall vs exact brute-force over {result['sample_queries']} queries
-(tools/knn_midscale_bench.py, deterministic clustered vectors).
+(tools/knn_midscale_bench.py, deterministic {args.structure} clustered vectors).
 
 | n_vecs | wall (s) | vecs/sec | recall |
 |---|---|---|---|
