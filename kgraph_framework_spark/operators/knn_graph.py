@@ -203,18 +203,19 @@ def _score_pairs(pairs: DataFrame, emb: DataFrame, bc=None) -> DataFrame:
     if bc is not None:
 
         def score_local(it):
+            from kgraph_framework_spark.operators.nnd_fused import (
+                l2_gathered,
+            )
+
             ids, X = bc.value
             for pdf in it:
                 if len(pdf) == 0:
                     continue
                 a = pdf["a"].to_numpy(np.int64)
                 b = pdf["b"].to_numpy(np.int64)
-                da = X[np.searchsorted(ids, a)].astype(np.float64)
-                db = X[np.searchsorted(ids, b)].astype(np.float64)
-                diff = da - db
                 yield pd.DataFrame(
                     {"a": a, "b": b,
-                     "dist": np.einsum("ij,ij->i", diff, diff)}
+                     "dist": l2_gathered(X, ids, a, X, ids, b)}
                 )
 
         return pairs.select("a", "b").mapInPandas(

@@ -69,7 +69,7 @@ from kgraph_framework_spark.operators.nnd_fused import (
     auto_n_blocks,
     blk_col,
     collect_exclusion,
-    _SCORE_CHUNK,
+    l2_gathered,
 )
 from kgraph_framework_spark.plans.pregel import release_state, truncate_state
 
@@ -208,13 +208,7 @@ def _score_cells(packs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame):
         hi = np.asarray(row.hi, np.int64)
         u_ids = np.asarray(row.u_ids, np.int64)
         U = np.frombuffer(row.u_mat, np.float32).reshape(-1, dim)
-        d = np.empty(lo.size, np.float64)
-        for i in range(0, lo.size, _SCORE_CHUNK):
-            sl = slice(i, min(i + _SCORE_CHUNK, lo.size))
-            da = U[np.searchsorted(u_ids, lo[sl])].astype(np.float64)
-            db = X2[np.searchsorted(ids2, hi[sl])].astype(np.float64)
-            diff = da - db
-            d[sl] = np.einsum("ij,ij->i", diff, diff)
+        d = l2_gathered(U, u_ids, lo, X2, ids2, hi)
         los.append(lo)
         his.append(hi)
         dists.append(d)

@@ -58,7 +58,54 @@ MERGE_SCHEMA = "src long, dst long, dist double, is_new boolean, fresh boolean"
 #: unchanged; the guard bounds driver memory.
 EXCL_COLLECT_CAP = 5_000_000
 
-_SCORE_CHUNK = 1 << 18  # pairs per einsum chunk: 2 * 256Ki * dim * 8B live
+_SCORE_CHUNK = 1 << 14  # pairs per einsum chunk — small on purpose: this
+# size keeps every scratch buffer (2 x f32 gathers + 2 x f64 upcasts)
+# within the allocator's reuse cache. Fresh multi-hundred-MB numpy
+# allocations are first-touch page-faulted by the kernel at ~2 s / 64 MB
+# on this class of VM (measured; the same pathology membw_probe
+# quantifies), which made large-chunk scoring ~20x slower than the
+# arithmetic itself.
+
+
+def l2_gathered(
+    Xa: np.ndarray,
+    ids_a: np.ndarray,
+    a: np.ndarray,
+    Xb: np.ndarray,
+    ids_b: np.ndarray,
+    b: np.ndarray,
+) -> np.ndarray:
+    """Squared-L2 for id pairs gathered from two (sorted-ids, float32
+    matrix) stores — THE distance kernel of the engine (reference
+    Distance::compare, /root/reference/include/commom/distance.h:17-21).
+
+    Bit-identical to ``einsum over (X[idx].astype(f64) - ...)`` — same
+    float32 storage rounding, float64 subtract/accumulate — but all
+    scratch buffers are preallocated once and reused across chunks:
+    np.take(out=) for the gathers, np.copyto for the exact f32->f64
+    upcast, in-place subtract. Measured 20x+ faster than the fresh-
+    allocation idiom on page-fault-slow hosts, identical outputs.
+    """
+    n = a.size
+    out = np.empty(n, np.float64)
+    if n == 0:
+        return out
+    dim = Xa.shape[1]
+    ch = min(_SCORE_CHUNK, n)
+    ga = np.empty((ch, dim), np.float32)
+    gb = np.empty((ch, dim), np.float32)
+    da = np.empty((ch, dim), np.float64)
+    db = np.empty((ch, dim), np.float64)
+    for i in range(0, n, ch):
+        j = min(i + ch, n)
+        m = j - i
+        np.take(Xa, np.searchsorted(ids_a, a[i:j]), axis=0, out=ga[:m])
+        np.take(Xb, np.searchsorted(ids_b, b[i:j]), axis=0, out=gb[:m])
+        np.copyto(da[:m], ga[:m])
+        np.copyto(db[:m], gb[:m])
+        np.subtract(da[:m], db[:m], out=da[:m])
+        out[i:j] = np.einsum("ij,ij->i", da[:m], da[:m])
+    return out
 
 #: target pool rows per merge/sample block. ``n_blocks`` must grow with
 #: the corpus, not the core count: at 10^9 vertices with L=30 a
@@ -205,10 +252,7 @@ def score_sym_topk(pairs: DataFrame, bc, k: int) -> DataFrame:
                 continue
             a = pdf["a"].to_numpy(np.int64)
             b = pdf["b"].to_numpy(np.int64)
-            da = X[np.searchsorted(ids, a)].astype(np.float64)
-            db = X[np.searchsorted(ids, b)].astype(np.float64)
-            d = da - db
-            dist = np.einsum("ij,ij->i", d, d)
+            dist = l2_gathered(X, ids, a, X, ids, b)
             s = np.concatenate([a, b])
             t = np.concatenate([b, a])
             dd = np.concatenate([dist, dist])
@@ -364,13 +408,7 @@ def _pairgen_kernel(s: int, l: int, seed: int, n_blocks: int, bc, excl_bc):
         frames = []
         if lo.size:
             ids, X = bc.value
-            dists = np.empty(lo.size, np.float64)
-            for i in range(0, lo.size, _SCORE_CHUNK):
-                sl = slice(i, min(i + _SCORE_CHUNK, lo.size))
-                da = X[np.searchsorted(ids, lo[sl])].astype(np.float64)
-                db = X[np.searchsorted(ids, hi[sl])].astype(np.float64)
-                d = da - db
-                dists[sl] = np.einsum("ij,ij->i", d, d)
+            dists = l2_gathered(X, ids, lo, X, ids, hi)
             # symmetric insert targets, pre-capped at L per target
             t = np.concatenate([lo, hi])
             tn = np.concatenate([hi, lo])
