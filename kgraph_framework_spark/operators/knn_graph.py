@@ -39,12 +39,18 @@ an Arrow batch with one numpy expression.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kgraph_framework_spark.plans.pregel import release_state, truncate_state
+from kgraph_framework_spark.plans.pregel import (
+    reclaim_shuffles,
+    release_state,
+    truncate_state,
+)
 
 
 def _hash_order(*cols):
@@ -149,6 +155,14 @@ def random_init(emb: DataFrame, k: int, seed: int = 42) -> DataFrame:
 #: matrix is sharded into cogrouped blocks instead (operators/
 #: nnd_blocked) — same kernels, no single-node requirement.
 SCORE_BROADCAST_BYTES = 512 << 20
+#: measured fused-vs-blocked crossover for ``nn_descent(mode="auto")``
+#: (BENCH.md round 4): at 50k x 64-d (12.8 MB matrix) the broadcast-
+#: fused loop wins 1.26x, at 200k x 64-d (51.2 MB) the cogroup-blocked
+#: loop wins 2.2x — every Python worker holds (and first unpickles) its
+#: own copy of the broadcast, so the per-round cost grows with matrix
+#: size while the blocked path ships each touched vector once per cell.
+#: Geometric midpoint of the bracketing points ~25.6 MB.
+AUTO_FUSED_MAX_BYTES = 32 << 20
 #: ...and below this vector count the join path wins instead: the
 #: saved embedding shuffle is tiny while the extra mapInPandas stage
 #: per scoring call costs a fixed ~0.5-1 s (measured at 2k vecs:
@@ -274,10 +288,12 @@ def nn_descent(
     only redundant distance evaluations are dropped.
 
     ``mode``: "auto" runs the FUSED superstep loop (operators/nnd_fused —
-    3 grouped Arrow kernels per round) whenever the corpus matrix fits in
-    a broadcast, else the BLOCKED loop (operators/nnd_blocked — same
-    kernels, matrix sharded into cogrouped blocks, no broadcast: the
-    100-TB shape); "blocked" forces the blocked loop at any size;
+    3 grouped Arrow kernels per round) while the corpus matrix is under
+    the measured fused/blocked crossover (AUTO_FUSED_MAX_BYTES, ~32 MB),
+    else the BLOCKED loop (operators/nnd_blocked — same kernels, matrix
+    sharded into cogrouped blocks, no broadcast: the 100-TB shape, and
+    the faster one on big corpora); "blocked" forces the blocked loop
+    at any size;
     "fused" asserts the broadcast fits; "join" forces the legacy
     join-based loop below (kept as the cross-checked slow path).
     """
@@ -288,8 +304,15 @@ def nn_descent(
     emb = emb.select("vec_id", "embedding").persist()
     n_edges_target = None
     bc = None
-    if mode in ("auto", "fused"):
+    if mode == "fused":
         bc = broadcast_matrix(emb, min_vecs=1)
+    elif mode == "auto":
+        # measured crossover, not the broadcast CAP: past ~32 MB the
+        # blocked loop beats the fused one even though the matrix
+        # would still broadcast (see AUTO_FUSED_MAX_BYTES)
+        bc = broadcast_matrix(
+            emb, limit_bytes=AUTO_FUSED_MAX_BYTES, min_vecs=1
+        )
     if mode == "fused" and bc is None:
         raise ValueError("mode='fused' but corpus exceeds broadcast cap")
     if bc is not None or mode in ("blocked", "auto"):
@@ -340,8 +363,10 @@ def nn_descent(
     )
     pool = truncate_state(spark, pool)
     metrics: list[dict] = []
+    n_vecs_join = emb.count()  # emb persisted above; gates reclaim
 
     for it in range(max_iters):
+        t_round = time.monotonic()
         # --- sample S new and S old per vertex: TOP-OF-POOL, the S
         # closest per flag by (dist, dst) — the reference scans pools in
         # ascending distance order (update(), :62-77) ---
@@ -438,11 +463,13 @@ def nn_descent(
         new_pool = truncate_state(spark, new_pool)
         updates = new_pool.where(F.col("fresh")).count()
         release_state(pool)
+        reclaim_shuffles(spark, n_vecs_join)
         if n_edges_target is None:
             n_edges_target = new_pool.count()
         rate = updates / max(n_edges_target, 1)
         metrics.append({"superstep": it, "new_entries": int(updates),
-                        "update_rate": rate})
+                        "update_rate": rate,
+                        "wall_sec": round(time.monotonic() - t_round, 2)})
         pool = new_pool
         if rate < min_update_rate:
             break

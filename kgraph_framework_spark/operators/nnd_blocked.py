@@ -49,6 +49,8 @@ pack size (tunable via EMB_BLOCK_BYTES) and per-merge-block pool rows
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -71,7 +73,11 @@ from kgraph_framework_spark.operators.nnd_fused import (
     collect_exclusion,
     l2_gathered,
 )
-from kgraph_framework_spark.plans.pregel import release_state, truncate_state
+from kgraph_framework_spark.plans.pregel import (
+    reclaim_shuffles,
+    release_state,
+    truncate_state,
+)
 
 EMB_BLOCK_SCHEMA = "g int, ids array<long>, mat binary, dim int"
 PACK_SCHEMA = (
@@ -334,6 +340,7 @@ def nn_descent_blocked(
     metrics: list[dict] = []
     n_edges_target = None
     for it in range(max_iters):
+        t_round = time.monotonic()
         pool_b = pool.select(
             blk_col(F.col("src"), B).alias("blk"), "src", "dst", "dist",
             "is_new",
@@ -379,11 +386,16 @@ def nn_descent_blocked(
         fresh = new_pool.where(F.col("fresh")).count()
         samples.unpersist()
         release_state(pool)
+        # a blocked round at 1M vecs writes ~30 GB of shuffle; force the
+        # superseded round's files off disk before the next one starts
+        reclaim_shuffles(spark, n)
         if n_edges_target is None:
             n_edges_target = new_pool.count()
         rate = fresh / max(n_edges_target, 1)
         metrics.append(
-            {"superstep": it, "new_entries": int(fresh), "update_rate": rate}
+            {"superstep": it, "new_entries": int(fresh),
+             "update_rate": rate,
+             "wall_sec": round(time.monotonic() - t_round, 2)}
         )
         pool = new_pool.select("src", "dst", "dist", "is_new")
         if rate < min_update_rate:

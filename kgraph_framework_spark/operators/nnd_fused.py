@@ -41,12 +41,18 @@ the skew bound.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgraph_framework_spark.plans.pregel import release_state, truncate_state
+from kgraph_framework_spark.plans.pregel import (
+    reclaim_shuffles,
+    release_state,
+    truncate_state,
+)
 
 SAMPLE_SCHEMA = "blk int, key long, nbr long, is_new boolean, fwd boolean"
 CAND_SCHEMA = "blk int, src long, dst long, dist double, clear boolean"
@@ -566,6 +572,7 @@ def nn_descent_fused(
     metrics: list[dict] = []
     n_edges_target = None
     for it in range(max_iters):
+        t_round = time.monotonic()
         pool_b = pool.select(
             blk_col(F.col("src"), B).alias("blk"), "src", "dst", "dist",
             "is_new",
@@ -587,11 +594,14 @@ def nn_descent_fused(
         new_pool = truncate_state(spark, merged)
         fresh = new_pool.where(F.col("fresh")).count()
         release_state(pool)
+        reclaim_shuffles(spark, len(bc.value[0]))
         if n_edges_target is None:
             n_edges_target = new_pool.count()
         rate = fresh / max(n_edges_target, 1)
         metrics.append(
-            {"superstep": it, "new_entries": int(fresh), "update_rate": rate}
+            {"superstep": it, "new_entries": int(fresh),
+             "update_rate": rate,
+             "wall_sec": round(time.monotonic() - t_round, 2)}
         )
         pool = new_pool.select("src", "dst", "dist", "is_new")
         if rate < min_update_rate:

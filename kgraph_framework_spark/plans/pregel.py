@@ -101,6 +101,42 @@ def truncate_state(spark: SparkSession, df: DataFrame) -> DataFrame:
         return ckpt
 
 
+#: below this many vertices a descent round's shuffle is MBs, not GBs —
+#: the ~1-3 s GC+settle would dominate the round, so skip reclaiming
+RECLAIM_MIN_VECS = 200_000
+
+
+def reclaim_shuffles(
+    spark: SparkSession, n_rows: int = 0, settle_sec: float = 1.0
+) -> None:
+    """Synchronously push dead shuffle files off disk at a round boundary.
+
+    Shuffle files are deleted by the ContextCleaner only after the
+    stage's ShuffleDependency is garbage-collected in the DRIVER JVM, so
+    in an iterative job each round's tens-of-GB of shuffle output
+    outlives the round by up to ``spark.cleaner.periodicGC.interval``
+    (and the async cleaner can lag a further round behind under load) —
+    a 5-round 1M-vector NN-descent filled an 80 GB disk twice this way.
+    Python GC first (drops py4j handles to superseded DataFrames), then
+    ``System.gc()`` in the JVM, then a short settle so the cleaner
+    thread drains its reference queue before the next round piles on.
+    Call this only in loops whose rounds run minutes (kNN descent); for
+    second-scale supersteps (PageRank) the GC pause would dominate.
+    ``n_rows`` is the caller's corpus/state size — below
+    RECLAIM_MIN_VECS the call is a no-op for the same reason.
+    """
+    if n_rows and n_rows < RECLAIM_MIN_VECS:
+        return
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        return
+    time.sleep(settle_sec)
+
+
 def release_state(df: DataFrame | None) -> None:
     """Free a superseded superstep's cached checkpoint blocks.
 

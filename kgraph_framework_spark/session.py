@@ -34,6 +34,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
+        # Iterative jobs (NN-descent, Pregel loops) leave each round's
+        # shuffle files on disk until the ContextCleaner notices the
+        # stage's RDDs are unreachable — which only happens on a DRIVER
+        # JVM GC. The default periodicGC.interval of 30min let a 6-round
+        # 1M-vector build accumulate >80 GB of dead shuffle data and
+        # fill the disk; 90s keeps disk usage proportional to the LIVE
+        # rounds. (On a real cluster the external shuffle service +
+        # larger disks relax this, but it is still the right default
+        # for loop-shaped jobs.)
+        .config("spark.cleaner.periodicGC.interval", "90s")
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:

@@ -242,6 +242,12 @@ def main() -> None:
         "n_edges": n_edges,
         "sampled_recall": round(recall, 4),
         "sample_queries": total // k,
+        # per-superstep breakdown; wall - sum(round walls) = init-score
+        # + final top-K cut + count actions (the non-loop stages)
+        "supersteps": metrics,
+        "rounds_wall_sec": round(
+            sum(m.get("wall_sec", 0.0) for m in metrics), 1
+        ),
     }
     print(json.dumps(result))
     md = f"""
