@@ -337,12 +337,16 @@ def nn_descent(
                 nn_descent_blocked,
             )
 
-            n_vecs = emb.count()
-            pool, metrics = nn_descent_blocked(
+            # final_k: the packed merge already leaves each block's pool
+            # per-src sorted and deduped, so the blocked loop cuts top-k
+            # in place while unpacking — no extra topk shuffle
+            graph, metrics = nn_descent_blocked(
                 spark, emb, k=k, l=l, s=s, max_iters=max_iters,
                 min_update_rate=min_update_rate, seed=seed, init=init,
-                exclude_pairs=exclude_pairs,
+                exclude_pairs=exclude_pairs, final_k=k,
             )
+            emb.unpersist()
+            return graph, metrics
         B = auto_n_blocks(
             spark.sparkContext.defaultParallelism, n_vecs, l
         )

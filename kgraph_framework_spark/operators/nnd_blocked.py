@@ -1,50 +1,69 @@
-"""Blocked NN-descent: the fused kernels beyond the broadcast cap.
+"""Blocked NN-descent: the fused kernels beyond the broadcast cap,
+with a PACKED-BUFFER dataflow between them.
 
 Reference behavior to match: the NN-descent kernel has ONE shape at any
 corpus size that fits RAM (/root/reference/src/index_graph.cpp:139-190)
 — there is no algorithmic cliff between "small" and "large" N. Round 3's
 fused path (operators/nnd_fused.py) reproduced its throughput but only
-while the whole float32 matrix fits a driver broadcast
-(knn_graph.SCORE_BROADCAST_BYTES); above the cap the engine fell back to
-the round-2 join loop, measured 3-4x slower. This module removes that
-cliff: the SAME three-kernel superstep (sample -> pairgen -> merge) runs
-with the corpus matrix partitioned into G hash blocks
+while the whole float32 matrix fits a driver broadcast; this module runs
+the SAME three-kernel superstep (sample -> pairgen -> merge) with the
+corpus matrix partitioned into G hash blocks and the in-kernel scoring
+replaced by a two-stage cogroup gather (the CSR cogroup pattern,
+operators/csr.py).
 
-    emb_blocks(g: int, ids: array<long> sorted, mat: binary float32, dim)
+The round-4 measured bottleneck was not arithmetic but ROW MACHINERY: a
+1M-vector round moved ~500M five-column rows through 5 chained
+shuffle/Arrow boundaries at ~2M rows/s (scoring the same round's 190M
+pairs takes ~25 s of CPU). So every inter-kernel edge here is PACKED:
+one row per (group key, producing block) whose cells are raw little-
+endian numpy buffers (int64 ids, float64 dists, uint8 flags, 16-byte
+canonical pair keys). A superstep shuffles a few thousand such rows —
+the same bytes, none of the per-row serialization. This is the north
+star's own prescription ("adjacency as per-partition CSR blocks: Arrow
+arrays of offsets + packed neighbor ids") applied to the descent loop's
+transient state as well as the adjacency itself.
 
-and the in-kernel scoring replaced by a TWO-STAGE COGROUP GATHER (the
-CSR cogroup pattern, operators/csr.py):
+Superstep dataflow (B merge blocks, G embedding blocks):
 
-  pairgen' : same candidate generation (reverse reservoir cap, new x new
-             + new x old local join, canonical dedupe, exclusion) but
-             emits UNSCORED canonical pairs keyed by g = blk(lo).
-  gather-1 : cogroup(pairs by g, emb_blocks by g) — dedupe the group's
-             pairs, bucket them by g2 = blk(hi), and emit ONE packed row
-             per (g, g2) cell: the pair id arrays plus the UNIQUE lo
-             vectors gathered from block g (each distinct lo vector
-             ships once per cell, not once per pair).
-  gather-2 : cogroup(cells by g2, emb_blocks by g) — gather hi vectors
-             from block g2, score all pairs with the same chunked
-             einsum, emit symmetric insert candidates pre-capped at L
-             per target (map-side combine), keyed by merge block.
-
-Sample and merge kernels are imported unchanged from nnd_fused; the
-sampling hashes and the scoring arithmetic are identical, so the blocked
-build is BIT-IDENTICAL to the fused build round for round (asserted in
-tests/test_nnd_blocked.py).
+  sample  : packed pool rows grouped by blk -> S new + S old per vertex
+            (nnd_fused._sample_np), re-segmented by blk(key) and emitted
+            as <= B packed rows per group.
+  pairgen : sample rows grouped by blk(key) -> reverse reservoir cap +
+            local join + canonical dedupe (nnd_fused._canonical_pairs),
+            emitted as <= G packed rows of 16-byte pair keys, keyed by
+            g = blk(lo).
+  gather-1: cogroup(pairs by g, emb_blocks by g) — global pair dedupe
+            for the block, then ONE packed row per (g, g2 = blk(hi))
+            cell: the pair keys plus the UNIQUE lo vectors gathered from
+            block g (each distinct lo vector ships once per cell, never
+            once per pair).
+  gather-2: cogroup(cells by g2, emb_blocks by g) — gather hi vectors,
+            score with the preallocated-buffer L2 kernel
+            (nnd_fused.l2_gathered), emit symmetric insert candidates
+            pre-capped at L per target (map-side combine) as <= B packed
+            rows keyed by merge block.
+  merge   : cogroup(packed pool, packed candidates ∪ clears) by blk ->
+            nnd_fused._merge_np (min-dist dedupe, top-L, flag clears,
+            fresh marking), ONE packed pool row out per block plus its
+            entry/fresh counts (so convergence needs one agg, not two
+            counts).
 
 Scale accounting per superstep (N vertices, sample S, pool L, dim d):
-candidate volume is the same N*O(S^2); the pair shuffle into gather-1
-carries 16-byte id pairs; the cell packs into gather-2 carry each
-distinct touched vector AT MOST once per (g, g2) cell — bounded above by
-min(pairs, touched-rows x G) x 4d bytes, always <= the per-pair vector
-carry of a join-based gather and typically far smaller because a
-vertex's S^2 candidate fan-in concentrates in few cells. The emb_blocks
-side re-shuffles the matrix once per gather (2 x matrix bytes per
-round), independent of pair count. Nothing is ever broadcast, collected,
-or required to fit on one node: per-task memory is bounded by the cell
-pack size (tunable via EMB_BLOCK_BYTES) and per-merge-block pool rows
-(nnd_fused.auto_n_blocks).
+candidate volume is the reference's N*O(S^2) either way. The gathered-
+vector duplication is bounded by min(pairs, touched-rows x G) x 4d — it
+GROWS with the embedding block count G, while gather-task parallelism
+EQUALS G, so G balances the two (see n_emb_blocks: matrix bytes /
+EMB_BLOCK_BYTES and a pair-buffer floor for memory, a core-count floor
+capped at the candidate fan-out for CPU). On a real cluster
+EMB_BLOCK_BYTES is the per-task memory knob: G grows linearly with
+corpus bytes, so per-task memory stays constant at any N. Nothing is
+ever broadcast, collected, or required to fit on one node.
+
+Bit-identity: sampling hashes and scoring arithmetic are shared with
+the fused path (nnd_fused._sample_np/_canonical_pairs/_merge_np/
+l2_gathered), and every kernel totally orders its group's entries
+before acting, so the blocked build is BIT-IDENTICAL to the fused build
+round for round (asserted in tests/test_nnd_blocked.py).
 """
 
 from __future__ import annotations
@@ -57,16 +76,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgraph_framework_spark.operators.nnd_fused import (
-    CAND_SCHEMA,
-    MERGE_SCHEMA,
-    SAMPLE_SCHEMA,
     _blk_np,
     _canonical_pairs,
     _empty,
-    _merge_kernel,
+    _merge_np,
     _pack2,
     _ranks,
-    _sample_kernel,
+    _sample_np,
     _unpack2,
     auto_n_blocks,
     blk_col,
@@ -80,25 +96,73 @@ from kgraph_framework_spark.plans.pregel import (
 )
 
 EMB_BLOCK_SCHEMA = "g int, ids array<long>, mat binary, dim int"
-PACK_SCHEMA = (
-    "g2 int, lo array<long>, hi array<long>, u_ids array<long>, "
-    "u_mat binary, dim int"
+
+#: target bytes per embedding block. Gathered-vector duplication per
+#: round is bounded by touched-rows x G x 4d, so FEWER, LARGER blocks
+#: ship fewer bytes; per-task memory (one block + one cell pack) is the
+#: opposing constraint. 128 MB keeps both comfortable on executor-sized
+#: tasks; G grows linearly with corpus bytes so the bound holds at any N.
+EMB_BLOCK_BYTES = 128 << 20
+
+#: target bytes of 16-byte pair keys per gather-1 group (all pairs whose
+#: lo falls in one block land in one task) — the second lower bound on G.
+PAIR_GROUP_BYTES = 1 << 30
+
+# packed-row schemas: buffers are little-endian numpy bytes
+POOL_P_SCHEMA = (
+    "blk int, src binary, dst binary, dist binary, is_new binary"
 )
-PAIR_SCHEMA = "g int, lo long, hi long"
+SAMPLE_P_SCHEMA = (
+    "blk int, key binary, nbr binary, is_new binary, fwd binary"
+)
+PAIR_P_SCHEMA = "g int, pk binary"
+PACK_P_SCHEMA = "g2 int, pk binary, u_ids binary, u_mat binary, dim int"
+CAND_P_SCHEMA = (
+    "blk int, clear boolean, src binary, dst binary, dist binary"
+)
+MERGE_P_SCHEMA = POOL_P_SCHEMA + ", n_entries long, n_fresh long"
 
-#: target bytes per embedding block. Small enough that a (g, g2) cell's
-#: pack plus two blocks fit comfortably in one task's memory; the block
-#: count G = max(parallelism, matrix_bytes / EMB_BLOCK_BYTES) grows with
-#: the corpus, so per-task memory stays bounded at any N.
-EMB_BLOCK_BYTES = 64 << 20
+_POOL_P_COLS = {"blk": "int32", "src": "object", "dst": "object",
+                "dist": "object", "is_new": "object"}
+_SAMPLE_P_COLS = {"blk": "int32", "key": "object", "nbr": "object",
+                  "is_new": "object", "fwd": "object"}
+_PAIR_P_COLS = {"g": "int32", "pk": "object"}
+_PACK_P_COLS = {"g2": "int32", "pk": "object", "u_ids": "object",
+                "u_mat": "object", "dim": "int32"}
+_CAND_P_COLS = {"blk": "int32", "clear": "bool", "src": "object",
+                "dst": "object", "dist": "object"}
+_MERGE_P_COLS = dict(_POOL_P_COLS, n_entries="int64", n_fresh="int64")
 
-_PACK_COLS = {
-    "g2": "int32", "lo": "object", "hi": "object", "u_ids": "object",
-    "u_mat": "object", "dim": "int32",
-}
-_PAIR_COLS = {"g": "int32", "lo": "int64", "hi": "int64"}
-_CAND_COLS = {"blk": "int32", "src": "int64", "dst": "int64",
-              "dist": "float64", "clear": "bool"}
+
+def _cat(pdf: pd.DataFrame, col: str, dtype) -> np.ndarray:
+    """Concatenate a packed column's per-row buffers into one array."""
+    bufs = [np.frombuffer(b, dtype) for b in pdf[col] if len(b)]
+    if not bufs:
+        return np.empty(0, dtype)
+    return np.concatenate(bufs) if len(bufs) > 1 else bufs[0]
+
+
+def _segment_rows(key_blk: np.ndarray, cols: dict[str, np.ndarray],
+                  blk_name: str = "blk") -> pd.DataFrame:
+    """Segment entry arrays by block id into one packed row per block."""
+    if key_blk.size == 0:
+        return pd.DataFrame(
+            {blk_name: pd.Series(dtype="int32"),
+             **{c: pd.Series(dtype="object") for c in cols}}
+        )
+    o = np.argsort(key_blk, kind="stable")
+    kb = key_blk[o]
+    starts = np.flatnonzero(np.r_[True, kb[1:] != kb[:-1]])
+    bounds = np.append(starts, kb.size)
+    rows: dict[str, list] = {blk_name: []}
+    for c in cols:
+        rows[c] = []
+    for i in range(starts.size):
+        a, b = bounds[i], bounds[i + 1]
+        rows[blk_name].append(int(kb[a]))
+        for c, arr in cols.items():
+            rows[c].append(arr[o[a:b]].tobytes())
+    return pd.DataFrame(rows)
 
 
 def build_emb_blocks(emb: DataFrame, g_blocks: int) -> DataFrame:
@@ -132,68 +196,179 @@ def build_emb_blocks(emb: DataFrame, g_blocks: int) -> DataFrame:
 
 
 def n_emb_blocks(
-    parallelism: int, n: int, dim: int, block_bytes: int = EMB_BLOCK_BYTES
+    n: int,
+    dim: int,
+    s: int = 10,
+    block_bytes: int = EMB_BLOCK_BYTES,
+    pair_group_bytes: int = PAIR_GROUP_BYTES,
+    parallelism: int = 1,
 ) -> int:
-    return int(max(parallelism, -(-(n * dim * 4) // block_bytes)))
+    """Embedding block count G — three competing bounds, measured on the
+    200k x 64-d corpus (rounds at G=32/8/2: 25.7 / 44.8 / 70.4 s):
+
+    - matrix bytes / ``block_bytes``: per-task memory, the bound that
+      grows with corpus size (the 100-TB knob).
+    - pair-buffer floor: one gather-1 group holds ~N*2S^2*16/G bytes of
+      pair keys; keep it under ``pair_group_bytes``.
+    - ``parallelism``: gather tasks = G, so G below the core count
+      serializes the scoring/cap CPU — the dominant cost at small
+      corpora where the other bounds collapse to 1-2. Capped at the
+      candidate fan-out per vertex (~2S^2) / 4: past that, every cell
+      holds fewer pairs per distinct lo than vectors, gathered-vector
+      duplication approaches the per-pair regime (each of the N*O(S^2)
+      pairs ships its own vector copy) and more tasks only move bytes.
+    """
+    by_matrix = -(-(n * dim * 4) // block_bytes)
+    by_pairs = -(-(n * 2 * s * s * 16) // pair_group_bytes)
+    fanout_cap = max(2, (s * s) // 2)
+    return int(max(2, min(parallelism, fanout_cap), by_matrix, by_pairs))
 
 
-def _pairgen_unscored_kernel(s: int, seed: int, g_blocks: int, excl_bc):
-    """Stage 2a: candidate generation only — canonical (lo, hi) pairs
-    keyed by the gather block of lo. Scoring happens in the two gather
-    stages; the flag-clear rows are derived outside the kernel by
-    filtering the sample output (same rows the fused kernel emits)."""
+def pack_pool(pool: DataFrame, n_blocks: int) -> DataFrame:
+    """Pack a (src, dst, dist, is_new) row pool into per-block rows."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
-            return _empty(_PAIR_COLS)
+            return _empty(_POOL_P_COLS)
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "src": [pdf["src"].to_numpy(np.int64).tobytes()],
+                "dst": [pdf["dst"].to_numpy(np.int64).tobytes()],
+                "dist": [pdf["dist"].to_numpy(np.float64).tobytes()],
+                "is_new": [
+                    pdf["is_new"].to_numpy(bool).astype(np.uint8).tobytes()
+                ],
+            }
+        )
+
+    return (
+        pool.select(
+            blk_col(F.col("src"), n_blocks).alias("blk"),
+            "src", "dst", "dist", "is_new",
+        )
+        .groupBy("blk")
+        .applyInPandas(fn, POOL_P_SCHEMA)
+    )
+
+
+def unpack_pool_topk(pool_p: DataFrame, k: int | None) -> DataFrame:
+    """Unpack packed pool rows to (src, dst, dist) rows, optionally
+    cutting to per-src top-k in place. Merge output is already (src
+    grouped, (dist, dst)-ascending within src, unique (src, dst)), so
+    the in-place rank filter equals nnd_fused.topk_per_src — asserted
+    bit-identical against the fused path in tests/test_nnd_blocked.py."""
+
+    def fn(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                s = np.frombuffer(row.src, np.int64)
+                d = np.frombuffer(row.dst, np.int64)
+                dist = np.frombuffer(row.dist, np.float64)
+                if k is not None and s.size:
+                    keep = _ranks(np.r_[True, s[1:] != s[:-1]]) < k
+                    s, d, dist = s[keep], d[keep], dist[keep]
+                yield pd.DataFrame({"src": s, "dst": d, "dist": dist})
+
+    return pool_p.mapInPandas(fn, "src long, dst long, dist double")
+
+
+def _sample_packed_kernel(s: int, n_blocks: int):
+    """Stage 1 (packed): top-of-pool S per (vertex, flag), fwd + rev,
+    re-segmented into one packed row per destination block."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _empty(_SAMPLE_P_COLS)
+        key, nbr, isn, fwd = _sample_np(
+            _cat(pdf, "src", np.int64),
+            _cat(pdf, "dst", np.int64),
+            _cat(pdf, "is_new", np.uint8).astype(bool),
+            _cat(pdf, "dist", np.float64),
+            s,
+        )
+        return _segment_rows(
+            _blk_np(key, n_blocks),
+            {"key": key, "nbr": nbr, "is_new": isn.astype(np.uint8),
+             "fwd": fwd.astype(np.uint8)},
+        )
+
+    return fn
+
+
+def _clears_packed(it):
+    """Derive the flag-clear rows (sampled-new FORWARD entries,
+    src/index_graph.cpp:88-111) from persisted packed sample rows —
+    a narrow map, no shuffle: a forward entry's key IS its merge block."""
+    for pdf in it:
+        for row in pdf.itertuples(index=False):
+            fwd = np.frombuffer(row.fwd, np.uint8).astype(bool)
+            isn = np.frombuffer(row.is_new, np.uint8).astype(bool)
+            m = fwd & isn
+            if not m.any():
+                continue
+            key = np.frombuffer(row.key, np.int64)[m]
+            nbr = np.frombuffer(row.nbr, np.int64)[m]
+            yield pd.DataFrame(
+                {"blk": [int(row.blk)], "clear": [True],
+                 "src": [key.tobytes()], "dst": [nbr.tobytes()],
+                 "dist": [np.zeros(key.size, np.float64).tobytes()]}
+            )
+
+
+def _pairgen_packed_kernel(s: int, seed: int, g_blocks: int, excl_bc):
+    """Stage 2 (packed): reverse reservoir cap + local join + canonical
+    dedupe, emitting 16-byte pair keys segmented by g = blk(lo)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _empty(_PAIR_P_COLS)
         lo, hi = _canonical_pairs(
-            pdf["key"].to_numpy(np.int64),
-            pdf["nbr"].to_numpy(np.int64),
-            pdf["is_new"].to_numpy(bool),
-            pdf["fwd"].to_numpy(bool),
+            _cat(pdf, "key", np.int64),
+            _cat(pdf, "nbr", np.int64),
+            _cat(pdf, "is_new", np.uint8).astype(bool),
+            _cat(pdf, "fwd", np.uint8).astype(bool),
             s, seed, excl_bc,
         )
-        return pd.DataFrame(
-            {"g": _blk_np(lo, g_blocks), "lo": lo, "hi": hi}
+        if lo.size == 0:
+            return _empty(_PAIR_P_COLS)
+        return _segment_rows(
+            _blk_np(lo, g_blocks), {"pk": _pack2(lo, hi)}, blk_name="g"
         )
 
     return fn
 
 
 def _gather1_kernel(g_blocks: int):
-    """Stage 2b: join pairs with their lo-side embedding block; emit one
-    packed row per destination block g2 = blk(hi) carrying the pair id
-    arrays and the gathered UNIQUE lo vectors."""
+    """Stage 2b: cogroup pairs with their lo-side embedding block; emit
+    one packed row per destination cell g2 = blk(hi) carrying the pair
+    keys and the gathered UNIQUE lo vectors."""
 
     def fn(pairs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame) -> pd.DataFrame:
         if pairs_pdf.empty or emb_pdf.empty:
-            return _empty(_PACK_COLS)
+            return _empty(_PACK_P_COLS)
         ids = np.asarray(emb_pdf["ids"].iloc[0], np.int64)
         dim = int(emb_pdf["dim"].iloc[0])
         X = np.frombuffer(emb_pdf["mat"].iloc[0], np.float32).reshape(-1, dim)
 
-        lo = pairs_pdf["lo"].to_numpy(np.int64)
-        hi = pairs_pdf["hi"].to_numpy(np.int64)
         # cross-merge-block duplicates of the same canonical pair land in
         # the same g (keyed by lo) — collapse them before shipping vectors
-        pk = np.unique(_pack2(lo, hi))
+        pk = np.unique(_cat(pairs_pdf, "pk", "V16"))
         lo, hi = _unpack2(pk)
 
         g2 = _blk_np(hi, g_blocks)
         o = np.argsort(g2, kind="stable")
-        lo, hi, g2 = lo[o], hi[o], g2[o]
+        pk, lo, g2 = pk[o], lo[o], g2[o]
         starts = np.flatnonzero(np.r_[True, g2[1:] != g2[:-1]])
         bounds = np.append(starts, g2.size)
-        rows: dict[str, list] = {c: [] for c in _PACK_COLS}
+        rows: dict[str, list] = {c: [] for c in _PACK_P_COLS}
         for i in range(starts.size):  # <= G cells, not per-pair
             a, b = bounds[i], bounds[i + 1]
-            l_, h_ = lo[a:b], hi[a:b]
-            u = np.unique(l_)
+            u = np.unique(lo[a:b])
             U = np.ascontiguousarray(X[np.searchsorted(ids, u)])
             rows["g2"].append(int(g2[a]))
-            rows["lo"].append(l_)
-            rows["hi"].append(h_)
-            rows["u_ids"].append(u)
+            rows["pk"].append(pk[a:b].tobytes())
+            rows["u_ids"].append(u.tobytes())
             rows["u_mat"].append(U.tobytes())
             rows["dim"].append(dim)
         return pd.DataFrame(rows)
@@ -210,9 +385,8 @@ def _score_cells(packs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame):
     X2 = np.frombuffer(emb_pdf["mat"].iloc[0], np.float32).reshape(-1, dim)
     los, his, dists = [], [], []
     for row in packs_pdf.itertuples(index=False):  # <= G cells
-        lo = np.asarray(row.lo, np.int64)
-        hi = np.asarray(row.hi, np.int64)
-        u_ids = np.asarray(row.u_ids, np.int64)
+        lo, hi = _unpack2(np.frombuffer(row.pk, "V16"))
+        u_ids = np.frombuffer(row.u_ids, np.int64)
         U = np.frombuffer(row.u_mat, np.float32).reshape(-1, dim)
         d = l2_gathered(U, u_ids, lo, X2, ids2, hi)
         los.append(lo)
@@ -226,14 +400,14 @@ def _score_cells(packs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame):
 def _gather2_kernel(l: int, n_blocks: int):
     """Stage 2c: score cells against the hi-side block, emit symmetric
     insert candidates pre-capped at L per target (the same map-side
-    combine as the fused pairgen tail), keyed by merge block."""
+    combine as the fused pairgen tail), packed per merge block."""
 
     def fn(packs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame) -> pd.DataFrame:
         if packs_pdf.empty or emb_pdf.empty:
-            return _empty(_CAND_COLS)
+            return _empty(_CAND_P_COLS)
         scored = _score_cells(packs_pdf, emb_pdf)
         if scored is None:
-            return _empty(_CAND_COLS)
+            return _empty(_CAND_P_COLS)
         lo, hi, dists = scored
         t = np.concatenate([lo, hi])
         tn = np.concatenate([hi, lo])
@@ -242,25 +416,56 @@ def _gather2_kernel(l: int, n_blocks: int):
         t, tn, td = t[o2], tn[o2], td[o2]
         kp = _ranks(np.r_[True, t[1:] != t[:-1]]) < l
         t, tn, td = t[kp], tn[kp], td[kp]
-        return pd.DataFrame(
-            {"blk": _blk_np(t, n_blocks), "src": t, "dst": tn, "dist": td,
-             "clear": np.zeros(t.size, bool)}
+        out = _segment_rows(
+            _blk_np(t, n_blocks), {"src": t, "dst": tn, "dist": td}
         )
+        out["clear"] = False
+        return out[["blk", "clear", "src", "dst", "dist"]]
 
     return fn
 
 
-def _gather2_directed_kernel():
-    """Directed variant for init-pool scoring: emit (a, b, dist) as-is."""
+def _merge_packed_kernel(l: int):
+    """Stage 3 (packed): pool ∪ candidates -> min-dedupe, top-L, flags,
+    fresh; ONE packed pool row out per block plus its counts."""
 
-    def fn(packs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame) -> pd.DataFrame:
-        if packs_pdf.empty or emb_pdf.empty:
-            return _empty({"a": "int64", "b": "int64", "dist": "float64"})
-        scored = _score_cells(packs_pdf, emb_pdf)
-        if scored is None:
-            return _empty({"a": "int64", "b": "int64", "dist": "float64"})
-        lo, hi, dists = scored
-        return pd.DataFrame({"a": lo, "b": hi, "dist": dists})
+    def fn(pool_pdf: pd.DataFrame, cand_pdf: pd.DataFrame) -> pd.DataFrame:
+        if pool_pdf.empty and cand_pdf.empty:
+            return _empty(_MERGE_P_COLS)
+        ps = _cat(pool_pdf, "src", np.int64)
+        pdd = _cat(pool_pdf, "dst", np.int64)
+        pdist = _cat(pool_pdf, "dist", np.float64)
+        pnew = _cat(pool_pdf, "is_new", np.uint8).astype(bool)
+
+        if len(cand_pdf):
+            clr = cand_pdf["clear"].to_numpy(bool)
+            creal, cclear = cand_pdf[~clr], cand_pdf[clr]
+            cs = _cat(creal, "src", np.int64)
+            cd = _cat(creal, "dst", np.int64)
+            cdist = _cat(creal, "dist", np.float64)
+            clears = np.sort(
+                _pack2(_cat(cclear, "src", np.int64),
+                       _cat(cclear, "dst", np.int64))
+            )
+        else:
+            cs = cd = np.empty(0, np.int64)
+            cdist = np.empty(0)
+            clears = np.empty(0, "V16")
+
+        out = _merge_np(ps, pdd, pdist, pnew, cs, cd, cdist, clears, l)
+        if out is None:
+            return _empty(_MERGE_P_COLS)
+        s2, d2, dist2, is_new, fresh = out
+        blk = int(
+            pool_pdf["blk"].iloc[0] if len(pool_pdf)
+            else cand_pdf["blk"].iloc[0]
+        )
+        return pd.DataFrame(
+            {"blk": [blk], "src": [s2.tobytes()], "dst": [d2.tobytes()],
+             "dist": [dist2.tobytes()],
+             "is_new": [is_new.astype(np.uint8).tobytes()],
+             "n_entries": [int(s2.size)], "n_fresh": [int(fresh.sum())]}
+        )
 
     return fn
 
@@ -272,22 +477,41 @@ def score_pairs_blocked(
     cogroup gather — no broadcast, no embedding join. Distances are
     bit-identical to knn_graph._score_pairs (same float32 storage,
     float64 arithmetic). Duplicate (a, b) rows collapse to one."""
-    keyed = pairs.select(
-        blk_col(F.col("a"), g_blocks).alias("g"),
-        F.col("a").alias("lo"),
-        F.col("b").alias("hi"),
+
+    def to_packed(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _empty(_PAIR_P_COLS)
+        a = pdf["a"].to_numpy(np.int64)
+        b = pdf["b"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"g": [int(pdf["g"].iloc[0])], "pk": [_pack2(a, b).tobytes()]}
+        )
+
+    def unpack_scored(packs_pdf, emb_pdf):
+        if packs_pdf.empty or emb_pdf.empty:
+            return _empty({"a": "int64", "b": "int64", "dist": "float64"})
+        scored = _score_cells(packs_pdf, emb_pdf)
+        if scored is None:
+            return _empty({"a": "int64", "b": "int64", "dist": "float64"})
+        lo, hi, dists = scored
+        return pd.DataFrame({"a": lo, "b": hi, "dist": dists})
+
+    keyed = (
+        pairs.select(
+            blk_col(F.col("a"), g_blocks).alias("g"), "a", "b"
+        )
+        .groupBy("g")
+        .applyInPandas(to_packed, PAIR_P_SCHEMA)
     )
     packs = (
         keyed.groupBy("g")
         .cogroup(emb_blocks.groupBy("g"))
-        .applyInPandas(_gather1_kernel(g_blocks), PACK_SCHEMA)
+        .applyInPandas(_gather1_kernel(g_blocks), PACK_P_SCHEMA)
     )
     return (
         packs.groupBy("g2")
         .cogroup(emb_blocks.groupBy("g"))
-        .applyInPandas(
-            _gather2_directed_kernel(), "a long, b long, dist double"
-        )
+        .applyInPandas(unpack_scored, "a long, b long, dist double")
     )
 
 
@@ -305,10 +529,12 @@ def nn_descent_blocked(
     n_blocks: int | None = None,
     g_blocks: int | None = None,
     block_bytes: int = EMB_BLOCK_BYTES,
+    final_k: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Blocked superstep loop — same contract as nnd_fused.nn_descent_fused
     but with NO broadcast-matrix requirement. Returns (pool, metrics);
-    the caller applies the final top-K cut."""
+    with ``final_k`` set the returned DataFrame is the finished graph
+    (per-src top-k, equal to topk_per_src of the pool)."""
     from kgraph_framework_spark.operators.knn_graph import random_init
 
     row = emb.select(
@@ -317,7 +543,7 @@ def nn_descent_blocked(
     n, dim = int(row["n"] or 0), int(row["d"] or 0)
     dp = spark.sparkContext.defaultParallelism
     B = n_blocks or auto_n_blocks(dp, n, l)
-    G = g_blocks or n_emb_blocks(dp, n, dim, block_bytes)
+    G = g_blocks or n_emb_blocks(n, dim, s, block_bytes, parallelism=dp)
 
     emb_blocks = build_emb_blocks(emb, G).persist()
     emb_blocks.count()
@@ -331,77 +557,65 @@ def nn_descent_blocked(
         emb_blocks,
         G,
     )
-    pool = scored.select(
+    pool_rows = scored.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "dist",
         F.lit(True).alias("is_new"),
     )
-    pool = truncate_state(spark, pool)
+    pool_p = truncate_state(spark, pack_pool(pool_rows, B))
 
     metrics: list[dict] = []
     n_edges_target = None
     for it in range(max_iters):
         t_round = time.monotonic()
-        pool_b = pool.select(
-            blk_col(F.col("src"), B).alias("blk"), "src", "dst", "dist",
-            "is_new",
-        )
         samples = (
-            pool_b.groupBy("blk")
-            .applyInPandas(_sample_kernel(s, seed + 3 * it + 1, B),
-                           SAMPLE_SCHEMA)
+            pool_p.groupBy("blk")
+            .applyInPandas(_sample_packed_kernel(s, B), SAMPLE_P_SCHEMA)
             .persist()
         )
-        # the flag-clear rows the fused pairgen emits inline: sampled-new
-        # FORWARD entries (src/index_graph.cpp:88-111)
-        clears = samples.where(F.col("fwd") & F.col("is_new")).select(
-            blk_col(F.col("key"), B).alias("blk"),
-            F.col("key").alias("src"),
-            F.col("nbr").alias("dst"),
-            F.lit(0.0).alias("dist"),
-            F.lit(True).alias("clear"),
-        )
+        clears = samples.mapInPandas(_clears_packed, CAND_P_SCHEMA)
         upairs = samples.groupBy("blk").applyInPandas(
-            _pairgen_unscored_kernel(s, seed + 3 * it + 2, G, excl_bc),
-            PAIR_SCHEMA,
+            _pairgen_packed_kernel(s, seed + 3 * it + 2, G, excl_bc),
+            PAIR_P_SCHEMA,
         )
         packs = (
             upairs.groupBy("g")
             .cogroup(emb_blocks.groupBy("g"))
-            .applyInPandas(_gather1_kernel(G), PACK_SCHEMA)
+            .applyInPandas(_gather1_kernel(G), PACK_P_SCHEMA)
         )
         scored_cands = (
             packs.groupBy("g2")
             .cogroup(emb_blocks.groupBy("g"))
-            .applyInPandas(_gather2_kernel(l, B), CAND_SCHEMA)
+            .applyInPandas(_gather2_kernel(l, B), CAND_P_SCHEMA)
         )
         cands = scored_cands.unionByName(clears)
         merged = (
-            pool_b.groupBy("blk")
+            pool_p.groupBy("blk")
             .cogroup(cands.groupBy("blk"))
-            .applyInPandas(
-                lambda kp, cp: _merge_kernel(l)(kp, cp), MERGE_SCHEMA
-            )
+            .applyInPandas(_merge_packed_kernel(l), MERGE_P_SCHEMA)
         )
         new_pool = truncate_state(spark, merged)
-        fresh = new_pool.where(F.col("fresh")).count()
+        agg = new_pool.agg(
+            F.sum("n_entries").alias("ne"), F.sum("n_fresh").alias("nf")
+        ).first()
+        fresh = int(agg["nf"] or 0)
         samples.unpersist()
-        release_state(pool)
-        # a blocked round at 1M vecs writes ~30 GB of shuffle; force the
-        # superseded round's files off disk before the next one starts
+        release_state(pool_p)
+        # a blocked round at 1M vecs writes tens of GB of shuffle; force
+        # the superseded round's files off disk before the next one starts
         reclaim_shuffles(spark, n)
         if n_edges_target is None:
-            n_edges_target = new_pool.count()
+            n_edges_target = int(agg["ne"] or 0)
         rate = fresh / max(n_edges_target, 1)
         metrics.append(
-            {"superstep": it, "new_entries": int(fresh),
+            {"superstep": it, "new_entries": fresh,
              "update_rate": rate,
              "wall_sec": round(time.monotonic() - t_round, 2)}
         )
-        pool = new_pool.select("src", "dst", "dist", "is_new")
+        pool_p = new_pool.select("blk", "src", "dst", "dist", "is_new")
         if rate < min_update_rate:
             break
 
     if excl_bc is not None:
         excl_bc.unpersist()
     emb_blocks.unpersist()
-    return pool, metrics
+    return unpack_pool_topk(pool_p, final_k), metrics

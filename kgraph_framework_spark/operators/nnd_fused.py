@@ -292,22 +292,12 @@ def _sample_kernel(s: int, seed: int, n_blocks: int):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return _empty(_SAMPLE_COLS)
-        src = pdf["src"].to_numpy(np.int64)
-        dst = pdf["dst"].to_numpy(np.int64)
-        new = pdf["is_new"].to_numpy(bool)
-        dist = pdf["dist"].to_numpy(np.float64)
-        order = np.lexsort((dst, dist, new, src))
-        src_s, dst_s, new_s = src[order], dst[order], new[order]
-        change = np.empty(order.size, bool)
-        change[0] = True
-        change[1:] = (src_s[1:] != src_s[:-1]) | (new_s[1:] != new_s[:-1])
-        keep = _ranks(change) < s
-        ks, kd, kn = src_s[keep], dst_s[keep], new_s[keep]
-        key = np.concatenate([ks, kd])
-        nbr = np.concatenate([kd, ks])
-        isn = np.concatenate([kn, kn])
-        fwd = np.concatenate(
-            [np.ones(ks.size, bool), np.zeros(ks.size, bool)]
+        key, nbr, isn, fwd = _sample_np(
+            pdf["src"].to_numpy(np.int64),
+            pdf["dst"].to_numpy(np.int64),
+            pdf["is_new"].to_numpy(bool),
+            pdf["dist"].to_numpy(np.float64),
+            s,
         )
         return pd.DataFrame(
             {"blk": _blk_np(key, n_blocks), "key": key, "nbr": nbr,
@@ -315,6 +305,32 @@ def _sample_kernel(s: int, seed: int, n_blocks: int):
         )
 
     return fn
+
+
+def _sample_np(
+    src: np.ndarray,
+    dst: np.ndarray,
+    new: np.ndarray,
+    dist: np.ndarray,
+    s: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Numpy core of the sample stage, shared with the packed blocked
+    loop (operators/nnd_blocked): top-of-pool S per (vertex, flag),
+    emitted forward (keyed by src) and reverse (keyed by dst). Order-
+    insensitive: the lexsort totally orders the group's entries."""
+    order = np.lexsort((dst, dist, new, src))
+    src_s, dst_s, new_s = src[order], dst[order], new[order]
+    change = np.empty(order.size, bool)
+    if order.size:
+        change[0] = True
+        change[1:] = (src_s[1:] != src_s[:-1]) | (new_s[1:] != new_s[:-1])
+    keep = _ranks(change) < s
+    ks, kd, kn = src_s[keep], dst_s[keep], new_s[keep]
+    key = np.concatenate([ks, kd])
+    nbr = np.concatenate([kd, ks])
+    isn = np.concatenate([kn, kn])
+    fwd = np.concatenate([np.ones(ks.size, bool), np.zeros(ks.size, bool)])
+    return key, nbr, isn, fwd
 
 
 def _canonical_pairs(
@@ -466,43 +482,65 @@ def _merge_kernel(l: int):
             cs = cd = np.empty(0, np.int64)
             cdist = np.empty(0)
 
-        ppk = _pack2(ps, pdd)
-        po = np.argsort(ppk, kind="stable")
-        ppk_s, pflag_s = ppk[po], pnew[po]
-
-        s_all = np.concatenate([ps, cs])
-        d_all = np.concatenate([pdd, cd])
-        dist_all = np.concatenate([pdist, cdist])
-        if s_all.size == 0:
+        out = _merge_np(ps, pdd, pdist, pnew, cs, cd, cdist, clears, l)
+        if out is None:
             return _empty(_MERGE_COLS)
-        # min-dist dedupe per (src, dst): sort (src, dst, dist), keep first
-        o = np.lexsort((dist_all, d_all, s_all))
-        s_all, d_all, dist_all = s_all[o], d_all[o], dist_all[o]
-        first = np.r_[
-            True, (s_all[1:] != s_all[:-1]) | (d_all[1:] != d_all[:-1])
-        ]
-        s_u, d_u, dist_u = s_all[first], d_all[first], dist_all[first]
-        # top-L per src by (dist, dst)
-        o2 = np.lexsort((d_u, dist_u, s_u))
-        s2, d2, dist2 = s_u[o2], d_u[o2], dist_u[o2]
-        keep = _ranks(np.r_[True, s2[1:] != s2[:-1]]) < l
-        s2, d2, dist2 = s2[keep], d2[keep], dist2[keep]
-
-        pk2 = _pack2(s2, d2)
-        idx = np.searchsorted(ppk_s, pk2)
-        ok = idx < ppk_s.size
-        in_pool = ok & (ppk_s[np.where(ok, idx, 0)] == pk2)
-        old_flag = np.where(
-            in_pool, pflag_s[np.where(ok, idx, 0)], False
-        )
-        cleared = _member(clears, pk2)
-        is_new = np.where(in_pool, old_flag & ~cleared, True)
+        s2, d2, dist2, is_new, fresh = out
         return pd.DataFrame(
             {"src": s2, "dst": d2, "dist": dist2,
-             "is_new": is_new, "fresh": ~in_pool}
+             "is_new": is_new, "fresh": fresh}
         )
 
     return fn
+
+
+def _merge_np(
+    ps: np.ndarray,
+    pdd: np.ndarray,
+    pdist: np.ndarray,
+    pnew: np.ndarray,
+    cs: np.ndarray,
+    cd: np.ndarray,
+    cdist: np.ndarray,
+    clears: np.ndarray,
+    l: int,
+):
+    """Numpy core of the merge stage, shared with the packed blocked
+    loop: pool ∪ candidates -> min-dist dedupe, per-src top-L by
+    (dist, dst), flag maintenance against the sorted ``clears`` packed
+    pairs, fresh-insert marking. Returns (src, dst, dist, is_new,
+    fresh) with src grouped and each group (dist, dst)-ascending, or
+    None when the union is empty."""
+    ppk = _pack2(ps, pdd)
+    po = np.argsort(ppk, kind="stable")
+    ppk_s, pflag_s = ppk[po], pnew[po]
+
+    s_all = np.concatenate([ps, cs])
+    d_all = np.concatenate([pdd, cd])
+    dist_all = np.concatenate([pdist, cdist])
+    if s_all.size == 0:
+        return None
+    # min-dist dedupe per (src, dst): sort (src, dst, dist), keep first
+    o = np.lexsort((dist_all, d_all, s_all))
+    s_all, d_all, dist_all = s_all[o], d_all[o], dist_all[o]
+    first = np.r_[
+        True, (s_all[1:] != s_all[:-1]) | (d_all[1:] != d_all[:-1])
+    ]
+    s_u, d_u, dist_u = s_all[first], d_all[first], dist_all[first]
+    # top-L per src by (dist, dst)
+    o2 = np.lexsort((d_u, dist_u, s_u))
+    s2, d2, dist2 = s_u[o2], d_u[o2], dist_u[o2]
+    keep = _ranks(np.r_[True, s2[1:] != s2[:-1]]) < l
+    s2, d2, dist2 = s2[keep], d2[keep], dist2[keep]
+
+    pk2 = _pack2(s2, d2)
+    idx = np.searchsorted(ppk_s, pk2)
+    ok = idx < ppk_s.size
+    in_pool = ok & (ppk_s[np.where(ok, idx, 0)] == pk2)
+    old_flag = np.where(in_pool, pflag_s[np.where(ok, idx, 0)], False)
+    cleared = _member(clears, pk2)
+    is_new = np.where(in_pool, old_flag & ~cleared, True)
+    return s2, d2, dist2, is_new, ~in_pool
 
 
 def collect_exclusion(exclude_pairs: DataFrame, spark: SparkSession):

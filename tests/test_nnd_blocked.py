@@ -61,11 +61,21 @@ class TestEmbBlocks:
             assert np.array_equal(got[vid], want[vid])
 
     def test_block_count_scales_with_bytes(self):
-        # 1M x 128-d float32 = 512 MB; 64 MB blocks -> 8 (floored at dp)
-        assert n_emb_blocks(4, 1_000_000, 128, 64 << 20) == 8
-        assert n_emb_blocks(32, 1_000_000, 128, 64 << 20) == 32
-        # 1e9 x 128-d = 512 GB -> ~7.6k blocks regardless of core count
-        assert n_emb_blocks(32, 10**9, 128, 64 << 20) == 7630
+        # 1M x 128-d float32 = 512 MB; 64 MB blocks -> 8. NO core-count
+        # floor: gathered-vector duplication grows with G, so G tracks
+        # data bytes only (cells keep gather tasks parallel regardless).
+        assert n_emb_blocks(1_000_000, 128, s=10, block_bytes=64 << 20) == 8
+        # 1e9 x 128-d = 512 GB -> ~7.6k blocks
+        assert n_emb_blocks(10**9, 128, s=10, block_bytes=64 << 20) == 7630
+        # pair-buffer floor: tiny matrix but huge S^2 fan-out still shards
+        assert (
+            n_emb_blocks(10**8, 4, s=32, pair_group_bytes=1 << 30) >= 305
+        )
+        # core-count floor keeps gather tasks parallel on small corpora…
+        assert n_emb_blocks(200_000, 64, s=15, parallelism=32) == 32
+        # …but is capped at the candidate fan-out (past it, duplication
+        # hits the per-pair regime and extra tasks only move bytes)
+        assert n_emb_blocks(200_000, 64, s=4, parallelism=1024) == 8
 
 
 class TestAutoNBlocks:
