@@ -4,10 +4,17 @@ The north-star layout: the edge table is hash-partitioned by ``src`` and
 each partition is packed into ONE row of compressed-sparse-row arrays
 
     csr(part_id: int,
-        src_ids:  array<long>   -- unique sorted source vertices
-        indptr:   array<int>    -- len(src_ids)+1 offsets into dst/wnorm
-        dst_ids:  array<long>   -- neighbor ids, grouped by src
-        wnorm:    array<double>)-- out-weight-normalized edge weights
+        src_ids:   array<long>  -- unique sorted source vertices
+        indptr:    array<int>   -- len(src_ids)+1 offsets into codes/wnorm
+        dst_uniq:  array<long>  -- sorted distinct neighbor ids (dictionary)
+        dst_codes: array<int>   -- per-edge index into dst_uniq, grouped by src
+        wnorm:     array<double>)-- out-weight-normalized edge weights
+
+    The dst column is dictionary-encoded at BUILD time (int32 code per
+    edge + one small id dictionary) so each superstep's scatter is a
+    ``bincount`` over static codes — the per-superstep sort/unique and
+    the element-wise ``np.add.at`` are paid once, not per iteration, and
+    the persisted block is smaller than an int64 id per edge.
 
 — the Spark analog of the reference's ``CompactGraph``
 (vector<vector<unsigned>>, /root/reference/include/index/index.h:16,64;
@@ -18,7 +25,7 @@ superstep is then a cogrouped gather-scatter:
 
     scores partitioned by the same part fn  ->  cogroup(csr, scores)
       -> per-block numpy gather (scores of src_ids), scatter
-         (np.add.at over dst codes), PRE-AGGREGATED per block
+         (bincount over the build-time dst codes), PRE-AGGREGATED per block
       -> one shuffle of (dst, partial) rows, groupBy(dst).sum
 
 The per-block pre-aggregation is the map-side combiner: a block emits
@@ -40,7 +47,7 @@ from pyspark.sql import functions as F
 
 CSR_SCHEMA = (
     "part_id int, src_ids array<long>, indptr array<int>, "
-    "dst_ids array<long>, wnorm array<double>"
+    "dst_uniq array<long>, dst_codes array<int>, wnorm array<double>"
 )
 
 
@@ -74,12 +81,20 @@ def build_csr_blocks(edges: DataFrame, n_parts: int) -> DataFrame:
         src = pdf["src"].to_numpy(np.int64)
         uniq, starts = np.unique(src, return_index=True)
         indptr = np.append(starts, len(src)).astype(np.int32)
+        # dictionary-encode the dst column ONCE at build: the superstep
+        # scatter is then a bincount over static int32 codes — no per-
+        # superstep sort/unique, and the block stores int32 codes plus a
+        # small dictionary instead of an int64 id per edge.
+        dst_uniq, dst_codes = np.unique(
+            pdf["dst"].to_numpy(np.int64), return_inverse=True
+        )
         return pd.DataFrame(
             {
                 "part_id": [int(pdf["part_id"].iloc[0])],
                 "src_ids": [uniq],
                 "indptr": [indptr],
-                "dst_ids": [pdf["dst"].to_numpy(np.int64)],
+                "dst_uniq": [dst_uniq],
+                "dst_codes": [dst_codes.astype(np.int32)],
                 "wnorm": [pdf["wn"].to_numpy(np.float64)],
             }
         )
@@ -100,10 +115,12 @@ def csr_roundtrip_edges(csr: DataFrame) -> DataFrame:
                 src_ids = np.asarray(row["src_ids"], dtype=np.int64)
                 indptr = np.asarray(row["indptr"], dtype=np.int64)
                 counts = np.diff(indptr)
+                dst_uniq = np.asarray(row["dst_uniq"], dtype=np.int64)
+                codes = np.asarray(row["dst_codes"], dtype=np.int64)
                 yield pd.DataFrame(
                     {
                         "src": np.repeat(src_ids, counts),
-                        "dst": np.asarray(row["dst_ids"], dtype=np.int64),
+                        "dst": dst_uniq[codes],
                         "wnorm": np.asarray(row["wnorm"], dtype=np.float64),
                     }
                 )
@@ -158,21 +175,23 @@ def pagerank_csr(
             return pd.DataFrame({"vertex": [], "partial": []}).astype(
                 {"vertex": "int64", "partial": "float64"}
             )
-        smap = pd.Series(
-            scores["score"].to_numpy(np.float64),
-            index=scores["vertex"].to_numpy(np.int64),
-        )
+        # sorted-gather for the score lookup: every src in this block is
+        # present in the co-partitioned score rows (srcs ⊆ vertices and
+        # both sides use the same pmod), so searchsorted is exact.
+        sv = scores["vertex"].to_numpy(np.int64)
+        ss = scores["score"].to_numpy(np.float64)
+        o = np.argsort(sv, kind="stable")
+        sv, ss = sv[o], ss[o]
         outs = []
         for _, row in blocks.iterrows():
             src_ids = np.asarray(row["src_ids"], dtype=np.int64)
             indptr = np.asarray(row["indptr"], dtype=np.int64)
-            dst = np.asarray(row["dst_ids"], dtype=np.int64)
+            du = np.asarray(row["dst_uniq"], dtype=np.int64)
+            codes = np.asarray(row["dst_codes"], dtype=np.int64)
             wn = np.asarray(row["wnorm"], dtype=np.float64)
-            s = smap.reindex(src_ids).to_numpy(np.float64)
+            s = ss[np.searchsorted(sv, src_ids)]
             contrib = np.repeat(s, np.diff(indptr)) * wn
-            du, codes = np.unique(dst, return_inverse=True)
-            partial = np.zeros(len(du))
-            np.add.at(partial, codes, contrib)
+            partial = np.bincount(codes, weights=contrib, minlength=du.size)
             outs.append(pd.DataFrame({"vertex": du, "partial": partial}))
         return pd.concat(outs, ignore_index=True)
 

@@ -38,9 +38,13 @@ class TestCsrBlocks:
         for r in rows:
             assert all(v % 4 == r["part_id"] for v in r["src_ids"])
             assert len(r["indptr"]) == len(r["src_ids"]) + 1
-            assert r["indptr"][-1] == len(r["dst_ids"]) == len(r["wnorm"])
+            assert r["indptr"][-1] == len(r["dst_codes"]) == len(r["wnorm"])
             # srcs sorted, neighbors sorted within each src row
             assert list(r["src_ids"]) == sorted(r["src_ids"])
+            # dst dictionary-encoding is exact: sorted unique ids, every
+            # code in range
+            assert list(r["dst_uniq"]) == sorted(set(r["dst_uniq"]))
+            assert all(0 <= c < len(r["dst_uniq"]) for c in r["dst_codes"])
 
 
 class TestCsrPageRank:
