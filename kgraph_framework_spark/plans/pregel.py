@@ -105,6 +105,11 @@ def truncate_state(spark: SparkSession, df: DataFrame) -> DataFrame:
 #: the ~1-3 s GC+settle would dominate the round, so skip reclaiming
 RECLAIM_MIN_VECS = 200_000
 
+#: minimum seconds between run_supersteps' boundary shuffle reclaims —
+#: bounds dead-shuffle disk to ~minutes of writes without taxing
+#: second-scale supersteps with a full-GC pause each round
+RECLAIM_EVERY_SEC = 300.0
+
 
 def reclaim_shuffles(
     spark: SparkSession, n_rows: int = 0, settle_sec: float = 1.0
@@ -223,12 +228,22 @@ def run_supersteps(
     state = truncate_state(spark, state)
     converged = False
     step = start_step
+    last_reclaim = time.monotonic()
     for step in range(start_step, max_iters):
         t0 = time.monotonic()
         new_state, info = step_fn(state, step)
         new_state = truncate_state(spark, new_state)
         rows = new_state.count()  # cheap: counts the cached partitions
         release_state(state)  # prev superstep's cache no longer reachable
+        # time-throttled shuffle reclaim: long convergence runs write GBs
+        # of dead shuffle per superstep; reclaim at a superstep BOUNDARY
+        # at most once per RECLAIM_EVERY_SEC so disk stays proportional
+        # to a few minutes of writes while second-scale supersteps never
+        # pay a full-GC pause mid-step (the session's periodic net is
+        # 5min for the same reason — see session.py)
+        if time.monotonic() - last_reclaim >= RECLAIM_EVERY_SEC:
+            reclaim_shuffles(spark, settle_sec=0.2)
+            last_reclaim = time.monotonic()
         if post_fn is not None:
             info = post_fn(new_state, info)
         dt = time.monotonic() - t0

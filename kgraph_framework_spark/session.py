@@ -37,13 +37,20 @@ def get_spark(
         # Iterative jobs (NN-descent, Pregel loops) leave each round's
         # shuffle files on disk until the ContextCleaner notices the
         # stage's RDDs are unreachable — which only happens on a DRIVER
-        # JVM GC. The default periodicGC.interval of 30min let a 6-round
-        # 1M-vector build accumulate >80 GB of dead shuffle data and
-        # fill the disk; 90s keeps disk usage proportional to the LIVE
-        # rounds. (On a real cluster the external shuffle service +
-        # larger disks relax this, but it is still the right default
-        # for loop-shaped jobs.)
-        .config("spark.cleaner.periodicGC.interval", "90s")
+        # JVM GC. Spark's default periodicGC.interval of 30min let a
+        # 6-round 1M-vector build accumulate >80 GB of dead shuffle data
+        # and fill the disk. Both loop drivers now reclaim EXPLICITLY at
+        # their own round boundaries (plans/pregel.reclaim_shuffles: NN-
+        # descent every round, run_supersteps time-throttled), so the
+        # periodic sweep is only the safety net for ad-hoc jobs — 5min
+        # bounds those to a few rounds of dead files while costing long
+        # second-scale superstep runs at most one full-GC pause per 5min
+        # (the earlier 90s net hit a 100M-edge PageRank every ~3rd
+        # superstep and doubled its steady per-step wall; BENCH.md).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
+        )
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
