@@ -33,11 +33,14 @@ Superstep dataflow (B merge blocks, G embedding blocks):
             emitted as <= G packed rows of 16-byte pair keys, keyed by
             g = blk(lo).
   gather-1: cogroup(pairs by g, emb_blocks by g) — global pair dedupe
-            for the block, then ONE packed row per (g, g2 = blk(hi))
-            cell: the pair keys plus the UNIQUE lo vectors gathered from
-            block g (each distinct lo vector ships once per cell, never
-            once per pair).
-  gather-2: cogroup(cells by g2, emb_blocks by g) — gather hi vectors,
+            for the block, then ONE packed row per destination grid
+            cell g2 = blk(hi, gh) * r + blk(lo, r): the pair keys plus
+            the UNIQUE lo vectors gathered from block g (each distinct
+            lo vector ships once per cell, never once per pair — and
+            because the stripe is a function of lo, at most gh cells
+            total; see grid_dims for why gh ~ sqrt(tasks)).
+  gather-2: cogroup(cells by g2, replicated coarse emb cells) — gather
+            hi vectors,
             score with the preallocated-buffer L2 kernel
             (nnd_fused.l2_gathered), emit symmetric insert candidates
             pre-capped at L per target (map-side combine) as <= B packed
@@ -107,6 +110,9 @@ EMB_BLOCK_BYTES = 128 << 20
 #: target bytes of 16-byte pair keys per gather-1 group (all pairs whose
 #: lo falls in one block land in one task) — the second lower bound on G.
 PAIR_GROUP_BYTES = 1 << 30
+
+#: scoring-task target for the gather-2 grid (multiplies defaultParallelism)
+GRID_TASKS_PER_CORE = 1
 
 # packed-row schemas: buffers are little-endian numpy bytes
 POOL_P_SCHEMA = (
@@ -224,6 +230,59 @@ def n_emb_blocks(
     return int(max(2, min(parallelism, fanout_cap), by_matrix, by_pairs))
 
 
+def grid_dims(
+    n: int,
+    dim: int,
+    parallelism: int,
+    block_bytes: int = EMB_BLOCK_BYTES,
+) -> tuple[int, int]:
+    """Scoring-grid shape (gh, r) for gather-2: cells are keyed by
+    (hi-block, lo-stripe), decoupling VECTOR DUPLICATION from TASK
+    PARALLELISM.
+
+    With a flat G-cell gather (gh=G, r=1) every touched lo vector ships
+    to up to G cells, so gather bytes are ~N*G*4d while scoring tasks
+    also equal G — the two are welded together (the round-4 G-sweep
+    showed parallelism must reach the core count, paying the byte bill).
+    The grid splits them: each lo's pairs land in <= gh cells (its
+    lo-stripe is a function of lo, so stripes add NO duplication), and
+    the hi-side matrix — packed blocks of n*4d/gh bytes — is replicated
+    r times instead, costing r*corpus bytes. Total gather traffic is
+    ~N*gh*4d + r*N*4d, minimized at gh ~ sqrt(tasks) for fixed
+    gh*r = tasks (vs gh = tasks flat): ~2*sqrt(T)/T of the flat bill.
+
+    Bounds: gh must keep one hi block under ``block_bytes`` per task
+    (the 100-TB memory knob — gh grows with corpus bytes, r shrinks to
+    1, and the grid degrades gracefully to the flat layout exactly when
+    duplication is already bounded by memory-sized blocks).
+    """
+    t = max(1, parallelism * GRID_TASKS_PER_CORE)
+    by_matrix = -(-(n * dim * 4) // block_bytes)
+    gh = int(max(by_matrix, round(t ** 0.5), 1))
+    r = max(1, -(-t // gh))
+    return gh, r
+
+
+def replicate_emb_cells(emb_hi: DataFrame, r: int) -> DataFrame:
+    """Explode gh coarse embedding blocks into gh*r grid cells keyed
+    g = g_hi * r + stripe. Narrow op over the persisted coarse packing —
+    the r-fold duplication is paid only in the cogroup shuffle, which is
+    exactly where it buys r-fold scoring parallelism."""
+    if r == 1:
+        return emb_hi
+    return emb_hi.select(
+        "g", "ids", "mat", "dim",
+        F.explode(F.array(*[F.lit(i) for i in range(r)])).alias("stripe"),
+    ).select(
+        (F.col("g").cast("long") * r + F.col("stripe"))
+        .cast("int")
+        .alias("g"),
+        "ids",
+        "mat",
+        "dim",
+    )
+
+
 def pack_pool(pool: DataFrame, n_blocks: int) -> DataFrame:
     """Pack a (src, dst, dist, is_new) row pool into per-block rows."""
 
@@ -339,10 +398,13 @@ def _pairgen_packed_kernel(s: int, seed: int, g_blocks: int, excl_bc):
     return fn
 
 
-def _gather1_kernel(g_blocks: int):
+def _gather1_kernel(gh: int, r: int = 1):
     """Stage 2b: cogroup pairs with their lo-side embedding block; emit
-    one packed row per destination cell g2 = blk(hi) carrying the pair
-    keys and the gathered UNIQUE lo vectors."""
+    one packed row per destination grid cell g2 = blk(hi, gh) * r +
+    blk(lo, r) carrying the pair keys and the gathered UNIQUE lo
+    vectors. The stripe term blk(lo, r) is a function of lo, so each lo
+    vector still ships to at most gh distinct cells — r adds scoring
+    parallelism without adding duplication (see grid_dims)."""
 
     def fn(pairs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame) -> pd.DataFrame:
         if pairs_pdf.empty or emb_pdf.empty:
@@ -356,7 +418,9 @@ def _gather1_kernel(g_blocks: int):
         pk = np.unique(_cat(pairs_pdf, "pk", "V16"))
         lo, hi = _unpack2(pk)
 
-        g2 = _blk_np(hi, g_blocks)
+        g2 = _blk_np(hi, gh).astype(np.int32) * np.int32(r)
+        if r > 1:
+            g2 = g2 + _blk_np(lo, r)
         o = np.argsort(g2, kind="stable")
         pk, lo, g2 = pk[o], lo[o], g2[o]
         starts = np.flatnonzero(np.r_[True, g2[1:] != g2[:-1]])
@@ -471,12 +535,23 @@ def _merge_packed_kernel(l: int):
 
 
 def score_pairs_blocked(
-    pairs: DataFrame, emb_blocks: DataFrame, g_blocks: int
+    pairs: DataFrame,
+    emb_blocks: DataFrame,
+    g_blocks: int,
+    emb_cells: DataFrame | None = None,
+    gh: int | None = None,
+    r: int = 1,
 ) -> DataFrame:
     """Exact squared-L2 for directed (a, b) pairs via the two-stage
     cogroup gather — no broadcast, no embedding join. Distances are
     bit-identical to knn_graph._score_pairs (same float32 storage,
-    float64 arithmetic). Duplicate (a, b) rows collapse to one."""
+    float64 arithmetic). Duplicate (a, b) rows collapse to one.
+
+    Default layout is flat (cells = the g_blocks emb packing itself);
+    pass ``emb_cells``/``gh``/``r`` to score on a gather grid instead
+    (see grid_dims) — results are identical either way."""
+    if emb_cells is None:
+        emb_cells, gh, r = emb_blocks, g_blocks, 1
 
     def to_packed(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -506,11 +581,11 @@ def score_pairs_blocked(
     packs = (
         keyed.groupBy("g")
         .cogroup(emb_blocks.groupBy("g"))
-        .applyInPandas(_gather1_kernel(g_blocks), PACK_P_SCHEMA)
+        .applyInPandas(_gather1_kernel(gh, r), PACK_P_SCHEMA)
     )
     return (
         packs.groupBy("g2")
-        .cogroup(emb_blocks.groupBy("g"))
+        .cogroup(emb_cells.groupBy("g"))
         .applyInPandas(unpack_scored, "a long, b long, dist double")
     )
 
@@ -530,6 +605,7 @@ def nn_descent_blocked(
     g_blocks: int | None = None,
     block_bytes: int = EMB_BLOCK_BYTES,
     final_k: int | None = None,
+    grid: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Blocked superstep loop — same contract as nnd_fused.nn_descent_fused
     but with NO broadcast-matrix requirement. Returns (pool, metrics);
@@ -544,9 +620,16 @@ def nn_descent_blocked(
     dp = spark.sparkContext.defaultParallelism
     B = n_blocks or auto_n_blocks(dp, n, l)
     G = g_blocks or n_emb_blocks(n, dim, s, block_bytes, parallelism=dp)
+    gh, r = grid or grid_dims(n, dim, dp, block_bytes)
 
     emb_blocks = build_emb_blocks(emb, G).persist()
     emb_blocks.count()
+    if (gh, r) == (G, 1):
+        emb_hi, emb_cells = emb_blocks, emb_blocks
+    else:
+        emb_hi = build_emb_blocks(emb, gh).persist()
+        emb_hi.count()
+        emb_cells = replicate_emb_cells(emb_hi, r)
     excl_bc = None
     if exclude_pairs is not None:
         excl_bc = collect_exclusion(exclude_pairs, spark)
@@ -556,6 +639,9 @@ def nn_descent_blocked(
         pool.select(F.col("src").alias("a"), F.col("dst").alias("b")),
         emb_blocks,
         G,
+        emb_cells=emb_cells,
+        gh=gh,
+        r=r,
     )
     pool_rows = scored.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "dist",
@@ -580,11 +666,11 @@ def nn_descent_blocked(
         packs = (
             upairs.groupBy("g")
             .cogroup(emb_blocks.groupBy("g"))
-            .applyInPandas(_gather1_kernel(G), PACK_P_SCHEMA)
+            .applyInPandas(_gather1_kernel(gh, r), PACK_P_SCHEMA)
         )
         scored_cands = (
             packs.groupBy("g2")
-            .cogroup(emb_blocks.groupBy("g"))
+            .cogroup(emb_cells.groupBy("g"))
             .applyInPandas(_gather2_kernel(l, B), CAND_P_SCHEMA)
         )
         cands = scored_cands.unionByName(clears)
@@ -617,5 +703,7 @@ def nn_descent_blocked(
 
     if excl_bc is not None:
         excl_bc.unpersist()
+    if emb_hi is not emb_blocks:
+        emb_hi.unpersist()
     emb_blocks.unpersist()
     return unpack_pool_topk(pool_p, final_k), metrics

@@ -13,11 +13,43 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: glibc malloc tuning inherited by every forked Python worker. The
+#: vectorized kernels allocate large numpy temporaries each call; with
+#: glibc's default 128 KB mmap threshold those come from mmap and are
+#: munmap'd on free, so EVERY task re-faults hundreds of MB of fresh
+#: anonymous pages. On virtualized hosts page zeroing can be the
+#: binding resource (this box faults ~1 GB/s aggregate across 32
+#: workers — measured, see BENCH.md malloc-tuning section), which made
+#: kernels 5-10x slower than their arithmetic. Raising the mmap and
+#: trim thresholds keeps buffers <=256 MB in the worker's heap, where
+#: they are REUSED across tasks (Spark reuses Python workers): pages
+#: fault once per worker lifetime, not once per task. Exported before
+#: the JVM starts so pyspark.daemon -> worker forks inherit them.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(256 << 20),
+    "MALLOC_TRIM_THRESHOLD_": str(256 << 20),
+}
+
+
+def _tune_malloc() -> None:
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
+    try:  # same tuning for THIS process (env is read at libc startup)
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 256 << 20)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 256 << 20)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass  # non-glibc platform; env vars are simply ignored
+
+
 def get_spark(
     app_name: str = "kgraph_framework_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    _tune_malloc()
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:

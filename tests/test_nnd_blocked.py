@@ -20,7 +20,9 @@ from kgraph_framework_spark.operators.knn_graph import (
 )
 from kgraph_framework_spark.operators.nnd_blocked import (
     build_emb_blocks,
+    grid_dims,
     n_emb_blocks,
+    replicate_emb_cells,
     score_pairs_blocked,
 )
 from kgraph_framework_spark.operators.nnd_fused import auto_n_blocks
@@ -77,6 +79,36 @@ class TestEmbBlocks:
         # hits the per-pair regime and extra tasks only move bytes)
         assert n_emb_blocks(200_000, 64, s=4, parallelism=1024) == 8
 
+    def test_grid_dims(self):
+        """Gather grid: gh ~ sqrt(tasks) bounds duplication, r restores
+        parallelism; the memory bound wins at scale (flat grid, r=1)."""
+        # 1M x 128-d on 32 cores: 512 MB matrix / 128 MB -> by_matrix=4,
+        # sqrt(32) ~ 6 -> gh=6, r=6 (36 cells; each lo ships <= 6x, vs
+        # 32x on the flat layout)
+        assert grid_dims(1_000_000, 128, 32) == (6, 6)
+        # 10^9 x 128-d = 512 GB: per-task memory dominates, grid is flat
+        gh, r = grid_dims(10**9, 128, 32)
+        assert gh == 3815 and r == 1
+        # replication never exceeds what parallelism needs: gh*r covers
+        # the task target within one gh
+        for n, dim, p in ((50_000, 64, 8), (10**7, 128, 256)):
+            gh, r = grid_dims(n, dim, p)
+            assert gh * r >= p
+            assert gh * (r - 1) < p or r == 1
+
+    def test_replicate_emb_cells(self, spark, emb):
+        """r-fold replication keys every coarse block into r distinct
+        cells carrying identical bytes."""
+        hi = build_emb_blocks(emb, 3).persist()
+        cells = replicate_emb_cells(hi, 2).collect()
+        base = {r_["g"]: r_ for r_ in hi.collect()}
+        hi.unpersist()
+        assert len(cells) == 2 * len(base)
+        for c in cells:
+            src = base[c["g"] // 2]
+            assert c["mat"] == src["mat"]
+            assert list(c["ids"]) == list(src["ids"])
+
 
 class TestAutoNBlocks:
     def test_grows_with_corpus_not_cores(self):
@@ -109,6 +141,31 @@ class TestBlockedScoring:
         assert set(got) == set(want)
         for k_ in want:  # bit-identical float64, no tolerance
             assert got[k_] == want[k_]
+
+    def test_grid_matches_flat(self, spark, emb):
+        """Scoring on a (gh, r) grid returns bit-identical distances to
+        the flat per-block layout."""
+        ids = [r_["vec_id"] for r_ in emb.select("vec_id").limit(14).collect()]
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a in ids[:7] for b in ids[7:]],
+            "a long, b long",
+        )
+        blocks = build_emb_blocks(emb, 5).persist()
+        hi = build_emb_blocks(emb, 2).persist()
+        cells = replicate_emb_cells(hi, 3)
+        flat = {
+            (r_["a"], r_["b"]): r_["dist"]
+            for r_ in score_pairs_blocked(pairs, blocks, 5).collect()
+        }
+        grid = {
+            (r_["a"], r_["b"]): r_["dist"]
+            for r_ in score_pairs_blocked(
+                pairs, blocks, 5, emb_cells=cells, gh=2, r=3
+            ).collect()
+        }
+        blocks.unpersist()
+        hi.unpersist()
+        assert flat == grid
 
 
 class TestBlockedVsFused:
