@@ -83,6 +83,7 @@ from kgraph_framework_spark.operators.nnd_fused import (
     _canonical_pairs,
     _empty,
     _merge_np,
+    _order_target_dist,
     _pack2,
     _ranks,
     _sample_np,
@@ -476,8 +477,7 @@ def _gather2_kernel(l: int, n_blocks: int):
         t = np.concatenate([lo, hi])
         tn = np.concatenate([hi, lo])
         td = np.concatenate([dists, dists])
-        o2 = np.lexsort((tn, td, t))
-        t, tn, td = t[o2], tn[o2], td[o2]
+        t, td, tn = _order_target_dist(t, td, tn)
         kp = _ranks(np.r_[True, t[1:] != t[:-1]]) < l
         t, tn, td = t[kp], tn[kp], td[kp]
         out = _segment_rows(

