@@ -356,6 +356,33 @@ def _sample_packed_kernel(s: int, n_blocks: int):
     return fn
 
 
+def _sample_packed_map(s: int, n_blocks: int):
+    """Stage 1 as a NARROW map: the pool invariant is one packed row per
+    block (pack_pool at init, _merge_packed_kernel every round), so each
+    Arrow batch already holds complete per-vertex pools — rows are
+    atomic and a vertex's pool lives entirely in its block's row — and
+    _sample_np is order-insensitive (total lexsort). Sampling therefore
+    needs no regroup: this replaces a full pool shuffle per round
+    (~N*L*25 bytes) with mapInPandas; the blk(key) re-segmentation that
+    follows pairs forward samples with reverse samples from OTHER
+    blocks, so the sample->pairgen exchange stays the one semantically
+    required pool-sized shuffle."""
+    fn = _sample_packed_kernel(s, n_blocks)
+
+    def it_fn(it):
+        for pdf in it:
+            # one call per pool row (= one block): an Arrow batch may
+            # carry several ~50 MB rows, and concatenating them would
+            # multiply peak task memory; row-at-a-time keeps the exact
+            # per-group profile of the former groupBy at any scale
+            for i in range(len(pdf)):
+                out = fn(pdf.iloc[i : i + 1])
+                if len(out):
+                    yield out
+
+    return it_fn
+
+
 def _clears_packed(it):
     """Derive the flag-clear rows (sampled-new FORWARD entries,
     src/index_graph.cpp:88-111) from persisted packed sample rows —
@@ -654,8 +681,7 @@ def nn_descent_blocked(
     for it in range(max_iters):
         t_round = time.monotonic()
         samples = (
-            pool_p.groupBy("blk")
-            .applyInPandas(_sample_packed_kernel(s, B), SAMPLE_P_SCHEMA)
+            pool_p.mapInPandas(_sample_packed_map(s, B), SAMPLE_P_SCHEMA)
             .persist()
         )
         clears = samples.mapInPandas(_clears_packed, CAND_P_SCHEMA)
