@@ -57,6 +57,15 @@ EXACT_DUP_MOD = 7
 NEAR_DUP_MOD = 11
 NEAR_DUP_DROP = 8
 
+# embedding-cosine near-dup family
+EMB_EXACT_MOD = 9
+EMB_NEAR_MOD = 5
+COSINE_DUP_THRESHOLD = 0.95
+MAX_EXACT_EMBCOS_VECS = 8192
+EMBCOS_BANDS = 8
+EMBCOS_BAND_BITS = 8
+EMBCOS_SEED = 0xE3B
+
 
 def dup_corpus(docs: DataFrame) -> DataFrame:
     """documents + deterministic exact copies and near-dup mutations."""
@@ -75,6 +84,159 @@ def dup_corpus(docs: DataFrame) -> DataFrame:
         )
     )
     return base.unionByName(exact).unionByName(near)
+
+
+def embcos_corpus(emb: DataFrame) -> DataFrame:
+    """embeddings + deterministic exact copies and near-dup perturbations.
+
+    The driver's synthetic ``embeddings`` table has no near-dup pairs
+    (max off-diagonal cosine ~0.51), so — exactly like :func:`dup_corpus`
+    for text — the canonical query corpus plants them: exact copies
+    (vec_id % EMB_EXACT_MOD) and near-dups with a deterministic
+    per-element multiplicative perturbation (vec_id % EMB_NEAR_MOD;
+    factors in [0.88, 1.12] keep the planted pair at cosine ~0.9976,
+    far above the ~0.51 background). The derivation is mirrored
+    element-for-element in the DuckDB oracle SQL.
+
+    Output: (vec_id: bigint, e: array<double>).
+    """
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    exact = (
+        base.where(F.col("vec_id") % EMB_EXACT_MOD == 0)
+        .select((F.col("vec_id") + 100_000).alias("vec_id"), "e")
+    )
+    # perturb FIRST (withColumn), then re-alias the id: putting both in
+    # one select makes Spark's lateral-column-alias resolution bind the
+    # factor's vec_id to the shifted alias, silently changing the factors
+    near = (
+        base.where(F.col("vec_id") % EMB_NEAR_MOD == 0)
+        .withColumn(
+            "e",
+            F.transform(
+                F.col("e"),
+                lambda x, i: x
+                * (
+                    F.lit(1.0)
+                    + ((F.col("vec_id") * 31 + i * 7) % 13 - 6) / F.lit(50.0)
+                ),
+            ),
+        )
+        .select((F.col("vec_id") + 200_000).alias("vec_id"), "e")
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def _emb_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _embcos_score(cand: DataFrame, corpus: DataFrame, threshold: float) -> DataFrame:
+    """Exact cosine re-rank of (vec_a, vec_b) candidates against the
+    corpus: keeps pairs with sim >= threshold, ppm-quantized."""
+    na = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        _emb_dot(F.col("e"), F.col("e")).alias("nna"),
+    )
+    nb = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        _emb_dot(F.col("e"), F.col("e")).alias("nnb"),
+    )
+    sims = (
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _emb_dot(F.col("ea"), F.col("eb"))
+                / (F.sqrt(F.col("nna")) * F.sqrt(F.col("nnb")))
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    return sims.select(
+        "vec_a",
+        "vec_b",
+        F.floor(F.col("sim") * 1_000_000 + 0.5).cast("long").alias("sim_ppm"),
+    )
+
+
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    max_vecs: int = MAX_EXACT_EMBCOS_VECS,
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs: (vec_a, vec_b, sim_ppm),
+    vec_a < vec_b, cosine >= threshold.
+
+    This is the declared O(N^2) exact oracle (all-pairs scan), guarded by
+    ``max_vecs`` like :func:`similarity.cosine_topk` — exact near-dup
+    over arbitrary real vectors has no deterministic sub-quadratic
+    blocking, so the 100-TB path is :func:`embedding_cosine_lsh_pairs`
+    (sign-band LSH candidates + exact re-rank, recall-gated)."""
+    n = corpus.limit(max_vecs + 1).count()
+    if n > max_vecs:
+        raise ValueError(
+            f"embedding_cosine_pairs is the exact O(N^2) oracle; got > "
+            f"{max_vecs} vectors — use embedding_cosine_lsh_pairs at scale"
+        )
+    ids = corpus.select("vec_id")
+    cand = (
+        ids.select(F.col("vec_id").alias("vec_a"))
+        .crossJoin(ids.select(F.col("vec_id").alias("vec_b")))
+        .where(F.col("vec_a") < F.col("vec_b"))
+    )
+    return _embcos_score(cand, corpus, threshold)
+
+
+def embedding_cosine_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    bands: int = EMBCOS_BANDS,
+    band_bits: int = EMBCOS_BAND_BITS,
+    seed: int = EMBCOS_SEED,
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup: sign-band LSH candidates + exact
+    cosine re-rank. Same output schema as :func:`embedding_cosine_pairs`;
+    recall < 1 by design (gated vs the exact oracle in quality.py).
+
+    Scale path: one ``bands*band_bits``-bit random-hyperplane code per
+    vector (a single BLAS matmul per Arrow batch, similarity.lsh_code_udf),
+    banded like MinHash-LSH — a pair is a candidate iff ALL ``band_bits``
+    sign bits of at least one band agree, so candidate generation is
+    ``bands`` equi-joins on uniform 8-bit-keyed buckets (no all-pairs, no
+    skew: near-dup pairs at cosine ~0.998 miss a band with prob ~0.16,
+    all 8 bands with prob ~5e-7). Reference analog: the banded bucket
+    probe of /root/reference/src/index_lsh.cpp:391-467."""
+    from kgraph_framework_spark.operators.similarity import lsh_code_udf
+
+    code = lsh_code_udf(bands * band_bits, seed)
+    coded = corpus.select("vec_id", code(F.col("e")).alias("code"))
+    blocks = None
+    mask = (1 << band_bits) - 1
+    for ix in range(bands):
+        blk = coded.select(
+            "vec_id",
+            F.lit(ix).alias("band_ix"),
+            F.shiftrightunsigned(F.col("code"), ix * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("bval"),
+        )
+        blocks = blk if blocks is None else blocks.unionByName(blk)
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["band_ix", "bval"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    return _embcos_score(cand, corpus, threshold)
 
 
 def exact_duplicates(corpus: DataFrame) -> DataFrame:

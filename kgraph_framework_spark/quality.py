@@ -31,6 +31,7 @@ LSH_FLOOR_PPM = 400_000
 IVF_FLOOR_PPM = 500_000
 NNDESCENT_FLOOR_PPM = 900_000
 KDTREE_FLOOR_PPM = 950_000
+EMBCOS_LSH_FLOOR_PPM = 950_000
 
 GATE_COLS = ["algo", "n_queries", "k", "floor_ppm", "recall_ok"]
 
@@ -155,6 +156,34 @@ def nndescent_blocked_gate(
     )
 
 
+def embcos_lsh_gate(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Gate for the sub-quadratic embedding near-dup path: recall of the
+    sign-band LSH pairs against the exact O(N^2) pair set on the planted
+    dup corpus (dedup.embcos_corpus). The planted pairs sit at cosine
+    ~0.998+, where the 8x8-bit band scheme misses with prob ~5e-7, so
+    the 0.95 floor has huge margin yet still fails on any regression in
+    the code/banding/re-rank pipeline."""
+    from kgraph_framework_spark.operators.dedup import (
+        EMBCOS_BANDS,
+        embcos_corpus,
+        embedding_cosine_lsh_pairs,
+        embedding_cosine_pairs,
+    )
+
+    corpus = embcos_corpus(emb).persist()
+    truth = embedding_cosine_pairs(corpus)
+    approx = embedding_cosine_lsh_pairs(corpus)
+    return _gate_row(
+        approx.select("vec_a", "vec_b"),
+        truth,
+        ["vec_a", "vec_b"],
+        "embcos_lsh",
+        F.count(F.lit(1)),
+        EMBCOS_BANDS,
+        EMBCOS_LSH_FLOOR_PPM,
+    )
+
+
 def kdtree_gate(
     spark: SparkSession, emb: DataFrame, k: int = 10, max_iters: int = 4
 ) -> DataFrame:
@@ -261,6 +290,17 @@ def nndescent_blocked_gate_sql(k: int = 10) -> str:
   CAST({NNDESCENT_FLOOR_PPM} AS BIGINT) AS floor_ppm,
   CAST(1 AS BIGINT) AS recall_ok
 FROM embeddings"""
+
+
+def embcos_lsh_gate_sql() -> str:
+    from kgraph_framework_spark.operators.dedup import EMBCOS_BANDS
+    from kgraph_framework_spark.sql_oracle_docs import embcos_sql
+
+    return f"""SELECT 'embcos_lsh' AS algo,
+  CAST((SELECT COUNT(*) FROM ({embcos_sql()}) t) AS BIGINT) AS n_queries,
+  CAST({EMBCOS_BANDS} AS BIGINT) AS k,
+  CAST({EMBCOS_LSH_FLOOR_PPM} AS BIGINT) AS floor_ppm,
+  CAST(1 AS BIGINT) AS recall_ok"""
 
 
 def _gate_sql(algo: str, k: int, floor_ppm: int, n_queries: int) -> str:

@@ -247,6 +247,21 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(dup_corpus(_docs(spark, sf_dir)))
 
 
+def q_dedup_embcos(spark, sf_dir):
+    from kgraph_framework_spark.operators.dedup import (
+        embcos_corpus,
+        embedding_cosine_pairs,
+    )
+
+    return embedding_cosine_pairs(embcos_corpus(_emb(spark, sf_dir)))
+
+
+def q_dedup_embcos_lsh(spark, sf_dir):
+    from kgraph_framework_spark.quality import embcos_lsh_gate
+
+    return embcos_lsh_gate(spark, _emb(spark, sf_dir))
+
+
 def q_knn_cosine(spark, sf_dir):
     from kgraph_framework_spark.operators.similarity import (
         cosine_topk,
@@ -321,6 +336,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard": (q_dedup_jaccard, sql_oracle_docs.ngram_jaccard_sql()),
     "dedup_minhash_lsh": (q_dedup_minhash, sql_oracle_docs.minhash_lsh_sql()),
     "dedup_simhash": (q_dedup_simhash, sql_oracle_docs.simhash_sql()),
+    # embedding-cosine near-dup: exact O(N^2) pairs hash-verified vs the
+    # DuckDB twin; the sub-quadratic sign-band LSH path is the gate row
+    "dedup_embedding_cosine": (q_dedup_embcos, sql_oracle_docs.embcos_sql()),
+    "dedup_embcos_lsh": (q_dedup_embcos_lsh, _quality.embcos_lsh_gate_sql()),
     "knn_cosine_bruteforce": (q_knn_cosine, sql_oracle_docs.knn_cosine_sql()),
     "knn_ann_lsh": (q_knn_ann, _quality.lsh_gate_sql()),
     "knn_ann_ivf": (q_knn_ivf, _quality.ivf_gate_sql()),

@@ -14,6 +14,9 @@ from kgraph_framework_spark.functions.hashing import (
     portable_hash64_sql,
 )
 from kgraph_framework_spark.operators.dedup import (
+    COSINE_DUP_THRESHOLD,
+    EMB_EXACT_MOD,
+    EMB_NEAR_MOD,
     EXACT_DUP_MOD,
     JACCARD_THRESHOLD,
     LSH_BANDS,
@@ -175,6 +178,36 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def embcos_sql(threshold: float = COSINE_DUP_THRESHOLD) -> str:
+    """O(n^2) exact twin of dedup.embedding_cosine_pairs over
+    dedup.embcos_corpus — corpus derivation mirrored element-for-element
+    (DuckDB list indices are 1-based; Spark transform's index is 0-based,
+    hence the (i-1) in the perturbation and dot terms)."""
+    perturb = (
+        "list_transform(generate_series(1, len(embedding)), "
+        f"i -> embedding[i]::DOUBLE * "
+        f"(1.0 + ((vec_id * 31 + (i - 1) * 7) % 13 - 6) / 50.0))"
+    )
+    dot = ("list_sum(list_transform(generate_series(1, len(a.e)), "
+           "i -> a.e[i] * b.e[i]))")
+    nn = "list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]))"
+    return f"""WITH embcorpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> x::DOUBLE)
+  FROM embeddings WHERE vec_id % {EMB_EXACT_MOD} = 0
+  UNION ALL
+  SELECT vec_id + 200000, {perturb}
+  FROM embeddings WHERE vec_id % {EMB_NEAR_MOD} = 0
+),
+norms AS (SELECT vec_id, e, {nn} AS nrm FROM embcorpus),
+sims AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                {dot} / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim
+         FROM norms a JOIN norms b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_ppm
+FROM sims WHERE sim >= {threshold}"""
 
 
 def knn_cosine_sql(k: int = 5, n_queries: int = 8) -> str:

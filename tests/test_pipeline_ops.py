@@ -115,6 +115,91 @@ class TestDedup:
         assert got == exp
 
 
+class TestEmbeddingCosineDedup:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF_TINY}/embeddings.parquet").persist()
+
+    @pytest.fixture(scope="class")
+    def ecorpus(self, emb):
+        from kgraph_framework_spark.operators.dedup import embcos_corpus
+
+        return embcos_corpus(emb).persist()
+
+    def test_exact_finds_planted_pairs(self, emb, ecorpus):
+        from kgraph_framework_spark.operators.dedup import (
+            EMB_EXACT_MOD,
+            EMB_NEAR_MOD,
+            embedding_cosine_pairs,
+        )
+
+        got = {
+            (p["vec_a"], p["vec_b"]): p["sim_ppm"]
+            for p in embedding_cosine_pairs(ecorpus).collect()
+        }
+        ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+        # every exact copy pairs with its original at sim = 1.0
+        for v in ids:
+            if v % EMB_EXACT_MOD == 0:
+                assert got.get((v, v + 100_000)) == 1_000_000, v
+        # every perturbed copy pairs with its original above the threshold
+        # (factors in [0.88, 1.12] keep cosine ~0.9976)
+        for v in ids:
+            if v % EMB_NEAR_MOD == 0:
+                assert got.get((v, v + 200_000, ), 0) >= 950_000, v
+        # background pairs (max natural cosine ~0.51) never appear
+        assert all(a >= 100_000 or b >= 100_000 for a, b in got)
+
+    def test_perturbation_uses_original_vec_id(self, emb, ecorpus):
+        """Regression: lateral-column-alias resolution once bound the
+        factor's vec_id to the +200000 alias — factors must derive from
+        the ORIGINAL id (what the DuckDB twin computes)."""
+        import numpy as np
+
+        from kgraph_framework_spark.operators.dedup import EMB_NEAR_MOD
+
+        orig = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()
+        }
+        v = sorted(k for k in orig if k % EMB_NEAR_MOD == 0)[1]
+        got = np.array(
+            ecorpus.where(F.col("vec_id") == v + 200_000).collect()[0]["e"]
+        )
+        exp = orig[v] * np.array(
+            [1.0 + ((v * 31 + i * 7) % 13 - 6) / 50.0 for i in range(len(orig[v]))]
+        )
+        assert np.array_equal(got, exp)
+
+    def test_lsh_pairs_match_exact_on_planted_corpus(self, ecorpus):
+        from kgraph_framework_spark.operators.dedup import (
+            embedding_cosine_lsh_pairs,
+            embedding_cosine_pairs,
+        )
+
+        exact = {
+            (p["vec_a"], p["vec_b"]): p["sim_ppm"]
+            for p in embedding_cosine_pairs(ecorpus).collect()
+        }
+        lsh = {
+            (p["vec_a"], p["vec_b"]): p["sim_ppm"]
+            for p in embedding_cosine_lsh_pairs(ecorpus).collect()
+        }
+        # candidates are a subset (banding prunes), survivors re-ranked
+        # exactly -> identical sim values; planted pairs miss a band with
+        # prob ~5e-7 so full recall is expected at this size
+        assert set(lsh) <= set(exact)
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.95, recall
+        assert all(exact[p] == s for p, s in lsh.items())
+
+    def test_exact_guard_raises_beyond_cap(self, ecorpus):
+        from kgraph_framework_spark.operators.dedup import embedding_cosine_pairs
+
+        with pytest.raises(ValueError, match="exact O"):
+            embedding_cosine_pairs(ecorpus, max_vecs=10)
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):
