@@ -173,16 +173,20 @@ def pagerank(
             new = new.crossJoin(dm_df)
         else:
             new = new.withColumn("_dm", F.lit(0.0))
-        new = new.join(ranks.select("vertex", F.col("score").alias("prev")), "vertex")
-        new = new.select(
-            "vertex",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / n)
-            ).alias("score"),
-            "prev",
-        )
+        score = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping)
+            * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / n)
+        ).alias("score")
+        if check:
+            # prev feeds only the convergence delta; fixed-round mode
+            # (oracle/bench/scaling) never reads it — skip the join
+            new = new.join(
+                ranks.select("vertex", F.col("score").alias("prev")), "vertex"
+            )
+            new = new.select("vertex", score, "prev")
+        else:
+            new = new.select("vertex", score)
         return new, {"n_vertices": n}
 
     def post(state: DataFrame, info: dict) -> dict:

@@ -78,6 +78,62 @@ class TestConnectedComponents:
         assert res.converged
 
 
+class TestCsrComponents:
+    def test_micro_matches_join_engine(self, spark):
+        from kgraph_framework_spark.plans.components import (
+            connected_components_csr,
+        )
+
+        res = connected_components_csr(spark, edges_df(spark, MICRO_EDGES))
+        exp = oracle.components_ref(MICRO_EDGES)
+        assert _labels(res.state) == exp
+        assert res.converged
+
+    def test_fixed_rounds_match_hashmin_ref(self, spark):
+        """num_iters mode must be PLAIN hash-min (no pointer jumping) so
+        the unrolled SQL twin matches round for round — same contract as
+        the join engine."""
+        from kgraph_framework_spark.plans.components import (
+            connected_components_csr,
+        )
+
+        sym = _sym(MICRO_EDGES)
+        res = connected_components_csr(
+            spark, edges_df(spark, MICRO_EDGES), num_iters=2, symmetrize=True
+        )
+        exp = oracle.hashmin_rounds_ref(sym, 2)
+        assert _labels(res.state) == exp
+
+    def test_long_chain_accelerated(self, spark):
+        from kgraph_framework_spark.plans.components import (
+            connected_components_csr,
+        )
+
+        chain = [(i, i + 1, 1.0) for i in range(63)]
+        res = connected_components_csr(
+            spark, edges_df(spark, chain), max_iters=30
+        )
+        got = _labels(res.state)
+        assert set(got.values()) == {0}
+        assert len(got) == 64
+        assert res.converged
+
+    def test_random_graph_matches_join_engine(self, spark):
+        from kgraph_framework_spark.plans.components import (
+            connected_components_csr,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (int(a), int(b), 1.0)
+            for a, b in rng.integers(0, 200, size=(120, 2))
+            if a != b
+        ]
+        csr = connected_components_csr(spark, edges_df(spark, rows))
+        hm = connected_components(spark, edges_df(spark, rows))
+        assert _labels(csr.state) == _labels(hm.state)
+
+
 class TestStarComponents:
     def test_micro_matches_hashmin(self, spark):
         from kgraph_framework_spark.plans.components import (
