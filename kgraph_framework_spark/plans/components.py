@@ -191,7 +191,12 @@ def connected_components_csr(
     # symmetrize+distinct runs twice)
     e = e.distinct().persist()
     if n_parts is None:
-        n_parts = spark.sparkContext.defaultParallelism
+        # data-sized block count (operators/csr.auto_n_parts) — bounds
+        # per-block arrays at any corpus size; also materializes the
+        # persisted edge set before the pack
+        from kgraph_framework_spark.operators.csr import auto_n_parts
+
+        n_parts = auto_n_parts(spark, e.count())
     csc = build_csc_blocks(
         e.select(
             F.col("src").alias("src_vertex"), F.col("dst").alias("dst_vertex")

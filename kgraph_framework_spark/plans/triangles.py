@@ -295,9 +295,13 @@ def _csr_credits(edges: DataFrame, n_parts: int | None = None) -> DataFrame:
     from kgraph_framework_spark.operators.csr import part_col
 
     spark = edges.sparkSession
-    if n_parts is None:
-        n_parts = spark.sparkContext.defaultParallelism
     o = _oriented(edges).persist()  # feeds both the CSR pack and the stream
+    if n_parts is None:
+        # data-sized block count (operators/csr.auto_n_parts) — bounds
+        # per-block arrays at any corpus size
+        from kgraph_framework_spark.operators.csr import auto_n_parts
+
+        n_parts = auto_n_parts(spark, o.count())
     csr = _oriented_csr(o, n_parts).persist()
     keyed = o.select(part_col(F.col("a"), n_parts).alias("part_id"), "a", "b")
     cells = (

@@ -32,6 +32,19 @@ class TestCsrBlocks:
         for k in exp:
             assert got[k] == pytest.approx(exp[k], abs=1e-15)
 
+    def test_auto_n_parts_scales_with_edges(self, spark):
+        """Block count must grow with the DATA, not stay pinned to core
+        count — one block's arrays are otherwise O(corpus/32)."""
+        from kgraph_framework_spark.operators.csr import (
+            TARGET_EDGES_PER_BLOCK,
+            auto_n_parts,
+        )
+
+        base = spark.sparkContext.defaultParallelism
+        assert auto_n_parts(spark, 1_000) == base
+        assert auto_n_parts(spark, TARGET_EDGES_PER_BLOCK * 100) >= 100
+        assert auto_n_parts(spark, TARGET_EDGES_PER_BLOCK * 1000) >= 1000
+
     def test_csc_blocks_roundtrip_and_partition(self, spark):
         """CSC (dst-grouped) blocks: every edge appears exactly once, in
         the block keyed by pmod(src) — the gather side's partitioning."""
