@@ -65,7 +65,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (headless benches); SPARK_GRAFT_UI=1 enables
+        # it so profiling probes can read per-stage metrics over REST
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         # Iterative jobs (NN-descent, Pregel loops) leave each round's
         # shuffle files on disk until the ContextCleaner notices the
         # stage's RDDs are unreachable — which only happens on a DRIVER
