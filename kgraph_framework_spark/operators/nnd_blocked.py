@@ -123,7 +123,14 @@ SAMPLE_P_SCHEMA = (
     "blk int, key binary, nbr binary, is_new binary, fwd binary"
 )
 PAIR_P_SCHEMA = "g int, pk binary"
-PACK_P_SCHEMA = "g2 int, pk binary, u_ids binary, u_mat binary, dim int"
+#: gather-1 input: pair-key rows (pk set) unioned with per-vertex tau
+#: threshold rows (t_ids/t_tau set) — see _tau_packed_map
+PAIRT_P_SCHEMA = "g int, pk binary, t_ids binary, t_tau binary"
+PACK_P_SCHEMA = (
+    "g2 int, pk binary, u_ids binary, u_mat binary, dim int, "
+    "u_tau binary, t_ids binary, t_tau binary"
+)
+TAU_P_SCHEMA = "g int, t_ids binary, t_tau binary"
 CAND_P_SCHEMA = (
     "blk int, clear boolean, src binary, dst binary, dist binary"
 )
@@ -135,7 +142,9 @@ _SAMPLE_P_COLS = {"blk": "int32", "key": "object", "nbr": "object",
                   "is_new": "object", "fwd": "object"}
 _PAIR_P_COLS = {"g": "int32", "pk": "object"}
 _PACK_P_COLS = {"g2": "int32", "pk": "object", "u_ids": "object",
-                "u_mat": "object", "dim": "int32"}
+                "u_mat": "object", "dim": "int32", "u_tau": "object",
+                "t_ids": "object", "t_tau": "object"}
+_TAU_P_COLS = {"g": "int32", "t_ids": "object", "t_tau": "object"}
 _CAND_P_COLS = {"blk": "int32", "clear": "bool", "src": "object",
                 "dst": "object", "dist": "object"}
 _MERGE_P_COLS = dict(_POOL_P_COLS, n_entries="int64", n_fresh="int64")
@@ -333,6 +342,70 @@ def unpack_pool_topk(pool_p: DataFrame, k: int | None) -> DataFrame:
     return pool_p.mapInPandas(fn, "src long, dst long, dist double")
 
 
+def _tau_lookup(t_ids: np.ndarray, t_tau: np.ndarray,
+                q: np.ndarray) -> np.ndarray:
+    """tau for each queried vertex id; +inf where the id has no finite
+    threshold (unsaturated pool — every candidate must be kept)."""
+    if t_ids.size == 0:
+        return np.full(q.size, np.inf)
+    idx = np.searchsorted(t_ids, q)
+    ok = idx < t_ids.size
+    idx0 = np.where(ok, idx, 0)
+    hit = ok & (t_ids[idx0] == q)
+    return np.where(hit, t_tau[idx0], np.inf)
+
+
+def _tau_packed_map(l: int, out_blocks: int, r: int = 1):
+    """Per-vertex round-start insertion thresholds — the reference's
+    threshold-vs-worst predicate F5 (src/index_graph.cpp:29-39) applied
+    at the candidate EMIT site instead of the heap-insert site.
+
+    tau(v) = the worst (max) dist in v's round-start pool when the pool
+    already holds >= L entries, else +inf. A candidate (t, n, d) with
+    d > tau(t) can never enter t's merged top-L — all L round-start
+    entries rank strictly before it under the (dist, dst) order and
+    min-dist dedupe only lowers dists — so dropping it before the
+    candidates->merge shuffle is EXACT: the merge output is
+    bit-identical (asserted in tests/test_nnd_blocked.py).
+
+    Narrow map over packed pool rows; emits only the FINITE entries,
+    packed (g, ids, tau) keyed by blk(src, out_blocks), replicated
+    across the r grid stripes when r > 1 (g = blk * r + stripe), so
+    round 0 (unsaturated pools) costs nothing."""
+
+    def it_fn(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                s = np.frombuffer(row.src, np.int64)
+                if s.size == 0:
+                    continue
+                dist = np.frombuffer(row.dist, np.float64)
+                o = np.argsort(s, kind="stable")
+                s_s, d_s = s[o], dist[o]
+                starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+                ids = s_s[starts]
+                cnt = np.diff(np.append(starts, s_s.size))
+                tau = np.maximum.reduceat(d_s, starts)
+                m = cnt >= l
+                if not m.any():
+                    continue
+                ids, tau = ids[m], tau[m]
+                out = _segment_rows(
+                    _blk_np(ids, out_blocks),
+                    {"t_ids": ids, "t_tau": tau},
+                    blk_name="g",
+                )
+                if r > 1:
+                    out = pd.concat(
+                        [out.assign(g=(out["g"] * r + i).astype("int32"))
+                         for i in range(r)],
+                        ignore_index=True,
+                    )
+                yield out
+
+    return it_fn
+
+
 def _sample_packed_kernel(s: int, n_blocks: int):
     """Stage 1 (packed): top-of-pool S per (vertex, flag), fwd + rev,
     re-segmented into one packed row per destination block."""
@@ -437,6 +510,20 @@ def _gather1_kernel(gh: int, r: int = 1):
     def fn(pairs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame) -> pd.DataFrame:
         if pairs_pdf.empty or emb_pdf.empty:
             return _empty(_PACK_P_COLS)
+        t_ids = np.empty(0, np.int64)
+        t_tau = np.empty(0, np.float64)
+        if "t_ids" in pairs_pdf.columns:
+            is_tau = pairs_pdf["pk"].isna()
+            tau_pdf = pairs_pdf[is_tau]
+            pairs_pdf = pairs_pdf[~is_tau]
+            if pairs_pdf.empty:
+                return _empty(_PACK_P_COLS)
+            if len(tau_pdf):
+                # several pool blocks contribute interleaved id ranges
+                t_ids = _cat(tau_pdf, "t_ids", np.int64)
+                t_tau = _cat(tau_pdf, "t_tau", np.float64)
+                to = np.argsort(t_ids, kind="stable")
+                t_ids, t_tau = t_ids[to], t_tau[to]
         ids = np.asarray(emb_pdf["ids"].iloc[0], np.int64)
         dim = int(emb_pdf["dim"].iloc[0])
         X = np.frombuffer(emb_pdf["mat"].iloc[0], np.float32).reshape(-1, dim)
@@ -463,6 +550,9 @@ def _gather1_kernel(gh: int, r: int = 1):
             rows["u_ids"].append(u.tobytes())
             rows["u_mat"].append(U.tobytes())
             rows["dim"].append(dim)
+            rows["u_tau"].append(_tau_lookup(t_ids, t_tau, u).tobytes())
+            rows["t_ids"].append(None)
+            rows["t_tau"].append(None)
         return pd.DataFrame(rows)
 
     return fn
@@ -471,39 +561,68 @@ def _gather1_kernel(gh: int, r: int = 1):
 def _score_cells(packs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame):
     """Score every pair in the group's cells: gather hi vectors from the
     co-grouped embedding block, lo vectors from the shipped packs.
-    Returns (lo, hi, dist) concatenated over cells, or None."""
+    Returns (lo, hi, dist, tau_lo) concatenated over cells, or None;
+    tau_lo is the lo-side insertion threshold shipped with the pack
+    (+inf when the producing gather-1 had no tau rows)."""
     ids2 = np.asarray(emb_pdf["ids"].iloc[0], np.int64)
     dim = int(emb_pdf["dim"].iloc[0])
     X2 = np.frombuffer(emb_pdf["mat"].iloc[0], np.float32).reshape(-1, dim)
-    los, his, dists = [], [], []
+    los, his, dists, taus = [], [], [], []
     for row in packs_pdf.itertuples(index=False):  # <= G cells
         lo, hi = _unpack2(np.frombuffer(row.pk, "V16"))
         u_ids = np.frombuffer(row.u_ids, np.int64)
         U = np.frombuffer(row.u_mat, np.float32).reshape(-1, dim)
         d = l2_gathered(U, u_ids, lo, X2, ids2, hi)
+        ut = getattr(row, "u_tau", None)
+        if ut is not None and len(ut):
+            taus.append(np.frombuffer(ut, np.float64)[
+                np.searchsorted(u_ids, lo)])
+        else:
+            taus.append(np.full(lo.size, np.inf))
         los.append(lo)
         his.append(hi)
         dists.append(d)
     if not los:
         return None
-    return np.concatenate(los), np.concatenate(his), np.concatenate(dists)
+    return (np.concatenate(los), np.concatenate(his),
+            np.concatenate(dists), np.concatenate(taus))
 
 
 def _gather2_kernel(l: int, n_blocks: int):
     """Stage 2c: score cells against the hi-side block, emit symmetric
     insert candidates pre-capped at L per target (the same map-side
-    combine as the fused pairgen tail), packed per merge block."""
+    combine as the fused pairgen tail), packed per merge block. A
+    candidate is dropped at the emit site when its dist exceeds the
+    target's round-start insertion threshold (F5; see _tau_packed_map —
+    provably merge-identical): lo-side thresholds ride the packs
+    (u_tau), hi-side thresholds arrive as tau rows unioned into this
+    cogroup's packs side, keyed by the same grid cell as the hi block."""
 
     def fn(packs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame) -> pd.DataFrame:
         if packs_pdf.empty or emb_pdf.empty:
             return _empty(_CAND_P_COLS)
+        th_ids = np.empty(0, np.int64)
+        th_tau = np.empty(0, np.float64)
+        if "t_ids" in packs_pdf.columns:
+            is_tau = packs_pdf["pk"].isna()
+            tau_pdf = packs_pdf[is_tau]
+            packs_pdf = packs_pdf[~is_tau]
+            if packs_pdf.empty:
+                return _empty(_CAND_P_COLS)
+            if len(tau_pdf):
+                th_ids = _cat(tau_pdf, "t_ids", np.int64)
+                th_tau = _cat(tau_pdf, "t_tau", np.float64)
+                to = np.argsort(th_ids, kind="stable")
+                th_ids, th_tau = th_ids[to], th_tau[to]
         scored = _score_cells(packs_pdf, emb_pdf)
         if scored is None:
             return _empty(_CAND_P_COLS)
-        lo, hi, dists = scored
-        t = np.concatenate([lo, hi])
-        tn = np.concatenate([hi, lo])
-        td = np.concatenate([dists, dists])
+        lo, hi, dists, tau_lo = scored
+        keep_lo = dists <= tau_lo
+        keep_hi = dists <= _tau_lookup(th_ids, th_tau, hi)
+        t = np.concatenate([lo[keep_lo], hi[keep_hi]])
+        tn = np.concatenate([hi[keep_lo], lo[keep_hi]])
+        td = np.concatenate([dists[keep_lo], dists[keep_hi]])
         t, td, tn = _order_target_dist(t, td, tn)
         kp = _ranks(np.r_[True, t[1:] != t[:-1]]) < l
         t, tn, td = t[kp], tn[kp], td[kp]
@@ -595,7 +714,7 @@ def score_pairs_blocked(
         scored = _score_cells(packs_pdf, emb_pdf)
         if scored is None:
             return _empty({"a": "int64", "b": "int64", "dist": "float64"})
-        lo, hi, dists = scored
+        lo, hi, dists, _tau = scored
         return pd.DataFrame({"a": lo, "b": hi, "dist": dists})
 
     keyed = (
@@ -633,6 +752,7 @@ def nn_descent_blocked(
     block_bytes: int = EMB_BLOCK_BYTES,
     final_k: int | None = None,
     grid: tuple[int, int] | None = None,
+    tau_filter: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """Blocked superstep loop — same contract as nnd_fused.nn_descent_fused
     but with NO broadcast-matrix requirement. Returns (pool, metrics);
@@ -689,11 +809,36 @@ def nn_descent_blocked(
             _pairgen_packed_kernel(s, seed + 3 * it + 2, G, excl_bc),
             PAIR_P_SCHEMA,
         )
+        nb = F.lit(None).cast("binary")
+        pairs_in = upairs.select("g", "pk", nb.alias("t_ids"),
+                                 nb.alias("t_tau"))
+        if tau_filter:
+            # round-start thresholds, derived from the packed pool by a
+            # narrow map — a few KB..MB of (id, tau) rows per round,
+            # empty until pools saturate at L
+            tau_lo = pool_p.mapInPandas(
+                _tau_packed_map(l, G), TAU_P_SCHEMA
+            )
+            pairs_in = pairs_in.unionByName(
+                tau_lo.select("g", nb.alias("pk"), "t_ids", "t_tau")
+            )
         packs = (
-            upairs.groupBy("g")
+            pairs_in.groupBy("g")
             .cogroup(emb_blocks.groupBy("g"))
             .applyInPandas(_gather1_kernel(gh, r), PACK_P_SCHEMA)
         )
+        if tau_filter:
+            tau_hi = pool_p.mapInPandas(
+                _tau_packed_map(l, gh, r), TAU_P_SCHEMA
+            )
+            packs = packs.unionByName(
+                tau_hi.select(
+                    F.col("g").alias("g2"), nb.alias("pk"),
+                    nb.alias("u_ids"), nb.alias("u_mat"),
+                    F.lit(0).alias("dim"), nb.alias("u_tau"),
+                    "t_ids", "t_tau",
+                )
+            )
         scored_cands = (
             packs.groupBy("g2")
             .cogroup(emb_cells.groupBy("g"))

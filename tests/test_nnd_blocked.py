@@ -196,3 +196,78 @@ class TestBlockedVsFused:
             g.groupBy("src").count().where(F.col("count") > K).count() == 0
         )
         assert g.select("src").distinct().count() == emb.count()
+
+
+class TestTauFilter:
+    """Emit-site insertion-threshold filter (F5,
+    /root/reference/src/index_graph.cpp:29-39): dropping candidates
+    with dist > the target's round-start pool worst must be invisible
+    in the merged pool — only the shipped candidate volume changes."""
+
+    def test_tau_packed_map_unit(self):
+        import pandas as pd
+
+        from kgraph_framework_spark.operators.nnd_blocked import (
+            _blk_np,
+            _tau_packed_map,
+        )
+
+        # vertex 1: 3 entries (saturated at l=3, tau = max = 9.0)
+        # vertex 2: 2 entries (unsaturated -> no row emitted)
+        src = np.array([1, 2, 1, 1, 2], np.int64)
+        dist = np.array([9.0, 5.0, 1.0, 4.0, 2.0])
+        row = pd.DataFrame(
+            {"blk": [0], "src": [src.tobytes()],
+             "dst": [src.tobytes()], "dist": [dist.tobytes()],
+             "is_new": [np.ones(5, np.uint8).tobytes()]}
+        )
+        out = list(_tau_packed_map(l=3, out_blocks=4)([row]))
+        assert len(out) == 1
+        pdf = pd.concat(out)
+        ids = np.concatenate(
+            [np.frombuffer(b, np.int64) for b in pdf["t_ids"]]
+        )
+        tau = np.concatenate(
+            [np.frombuffer(b, np.float64) for b in pdf["t_tau"]]
+        )
+        assert ids.tolist() == [1] and tau.tolist() == [9.0]
+        assert pdf["g"].tolist() == [int(_blk_np(np.array([1]), 4)[0])]
+
+        # replication: r=3 stripes -> 3 rows keyed blk*3 + stripe
+        out3 = pd.concat(list(_tau_packed_map(l=3, out_blocks=4, r=3)([row])))
+        base = int(_blk_np(np.array([1]), 4)[0])
+        assert sorted(out3["g"].tolist()) == [base * 3 + i for i in range(3)]
+
+        # all-unsaturated pool emits nothing at all
+        assert list(_tau_packed_map(l=9, out_blocks=4)([row])) == []
+
+    def test_tau_lookup_unit(self):
+        from kgraph_framework_spark.operators.nnd_blocked import _tau_lookup
+
+        ids = np.array([3, 7, 11], np.int64)
+        tau = np.array([0.5, 1.5, 2.5])
+        got = _tau_lookup(ids, tau, np.array([1, 3, 7, 9, 11, 99], np.int64))
+        assert got[1] == 0.5 and got[2] == 1.5 and got[4] == 2.5
+        assert np.isinf(got[[0, 3, 5]]).all()
+        assert np.isinf(
+            _tau_lookup(np.empty(0, np.int64), np.empty(0),
+                        np.array([1], np.int64))
+        ).all()
+
+    def test_tau_on_off_identical(self, spark, emb):
+        """l == k so pools saturate after round 0 and the filter engages
+        (finite taus) — pools AND convergence telemetry must not move."""
+        from kgraph_framework_spark.operators.nnd_blocked import (
+            nn_descent_blocked,
+        )
+
+        outs, mets = {}, {}
+        for tf in (True, False):
+            pool, m = nn_descent_blocked(
+                spark, emb, k=K, l=K, s=4, max_iters=4,
+                min_update_rate=0.0, seed=11, tau_filter=tf, final_k=K,
+            )
+            outs[tf] = sorted(map(tuple, pool.collect()))
+            mets[tf] = [x["new_entries"] for x in m]
+        assert outs[True] == outs[False]
+        assert mets[True] == mets[False]

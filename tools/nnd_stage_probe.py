@@ -8,7 +8,8 @@ shuffle read/write bytes from the REST API, grouped by job, so the
 per-round wall can be attributed to concrete dataflow edges (sample ->
 pairgen -> gather-1 -> gather-2 -> merge).
 
-Usage: python tools/nnd_stage_probe.py [n_vecs] [dim] [rounds] [cores]
+Usage: python tools/nnd_stage_probe.py [n_vecs] [dim] [rounds] [cores] [tau]
+(tau: 1=emit-site threshold filter on [default], 0=off — for the A/B.)
 Prints a per-stage table (desc by executorRunTime) plus one JSON line.
 """
 
@@ -38,6 +39,7 @@ def main() -> None:
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     cores = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    tau = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
 
     from kgraph_framework_spark.operators.nnd_blocked import (
         nn_descent_blocked,
@@ -55,7 +57,7 @@ def main() -> None:
     t0 = time.monotonic()
     pool, metrics = nn_descent_blocked(
         spark, emb, k=50, l=70, s=10, max_iters=rounds,
-        min_update_rate=0.0, seed=42,
+        min_update_rate=0.0, seed=42, tau_filter=tau,
     )
     n_edges = pool.count()
     wall = time.monotonic() - t0
@@ -108,6 +110,7 @@ def main() -> None:
                 "n_vecs": n_vecs,
                 "dim": dim,
                 "rounds": rounds,
+                "tau_filter": tau,
                 "wall_sec": round(wall, 1),
                 "round_walls": [m["wall_sec"] for m in metrics],
                 "n_edges": n_edges,
