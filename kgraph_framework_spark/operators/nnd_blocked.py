@@ -115,6 +115,17 @@ PAIR_GROUP_BYTES = 1 << 30
 #: scoring-task target for the gather-2 grid (multiplies defaultParallelism)
 GRID_TASKS_PER_CORE = 1
 
+#: engage the emit-site tau filter (F5) once the previous round's
+#: update rate drops below this. The filter is EXACT whenever applied
+#: (see _tau_packed_map), so gating it is purely a cost call: in early
+#: rounds nearly every candidate beats a still-loose pool worst, so the
+#: threshold lookups/masks over ~N*2S^2 pairs cost more than the few
+#: dropped bytes save (same-window A/B in BENCH.md); once the update
+#: rate decays the drop fraction is large and the filter wins (round 3
+#: of the 500k probe: 75 vs 104 s). 0.5 puts engagement right at the
+#: measured crossover.
+TAU_ENGAGE_RATE = 0.5
+
 # packed-row schemas: buffers are little-endian numpy bytes
 POOL_P_SCHEMA = (
     "blk int, src binary, dst binary, dist binary, is_new binary"
@@ -753,6 +764,7 @@ def nn_descent_blocked(
     final_k: int | None = None,
     grid: tuple[int, int] | None = None,
     tau_filter: bool = True,
+    tau_engage_rate: float = TAU_ENGAGE_RATE,
 ) -> tuple[DataFrame, list[dict]]:
     """Blocked superstep loop — same contract as nnd_fused.nn_descent_fused
     but with NO broadcast-matrix requirement. Returns (pool, metrics);
@@ -798,8 +810,10 @@ def nn_descent_blocked(
 
     metrics: list[dict] = []
     n_edges_target = None
+    prev_rate = 1.0
     for it in range(max_iters):
         t_round = time.monotonic()
+        engage_tau = tau_filter and prev_rate < tau_engage_rate
         samples = (
             pool_p.mapInPandas(_sample_packed_map(s, B), SAMPLE_P_SCHEMA)
             .persist()
@@ -812,7 +826,7 @@ def nn_descent_blocked(
         nb = F.lit(None).cast("binary")
         pairs_in = upairs.select("g", "pk", nb.alias("t_ids"),
                                  nb.alias("t_tau"))
-        if tau_filter:
+        if engage_tau:
             # round-start thresholds, derived from the packed pool by a
             # narrow map — a few KB..MB of (id, tau) rows per round,
             # empty until pools saturate at L
@@ -827,7 +841,7 @@ def nn_descent_blocked(
             .cogroup(emb_blocks.groupBy("g"))
             .applyInPandas(_gather1_kernel(gh, r), PACK_P_SCHEMA)
         )
-        if tau_filter:
+        if engage_tau:
             tau_hi = pool_p.mapInPandas(
                 _tau_packed_map(l, gh, r), TAU_P_SCHEMA
             )
@@ -865,9 +879,10 @@ def nn_descent_blocked(
         rate = fresh / max(n_edges_target, 1)
         metrics.append(
             {"superstep": it, "new_entries": fresh,
-             "update_rate": rate,
+             "update_rate": rate, "tau_engaged": engage_tau,
              "wall_sec": round(time.monotonic() - t_round, 2)}
         )
+        prev_rate = rate
         pool_p = new_pool.select("blk", "src", "dst", "dist", "is_new")
         if rate < min_update_rate:
             break

@@ -263,11 +263,16 @@ class TestTauFilter:
 
         outs, mets = {}, {}
         for tf in (True, False):
+            # engage rate 2.0 forces the filter on in every round (round
+            # 0's taus are all +inf anyway) so each saturated round tests it
             pool, m = nn_descent_blocked(
                 spark, emb, k=K, l=K, s=4, max_iters=4,
                 min_update_rate=0.0, seed=11, tau_filter=tf, final_k=K,
+                tau_engage_rate=2.0,
             )
             outs[tf] = sorted(map(tuple, pool.collect()))
             mets[tf] = [x["new_entries"] for x in m]
+            if tf:
+                assert all(x["tau_engaged"] for x in m)
         assert outs[True] == outs[False]
         assert mets[True] == mets[False]
