@@ -264,6 +264,7 @@ def nn_descent(
     init: DataFrame | None = None,
     exclude_pairs: DataFrame | None = None,
     mode: str = "auto",
+    payload: str = "fp32",
 ) -> tuple[DataFrame, list[dict]]:
     """Refine an initial candidate graph into a kNN graph.
 
@@ -296,7 +297,18 @@ def nn_descent(
     at any size;
     "fused" asserts the broadcast fits; "join" forces the legacy
     join-based loop below (kept as the cross-checked slow path).
+
+    ``payload="fp16"`` (blocked loop only) ships gathered vectors as
+    float16 — halves the dominant matrix shuffle edges for ~2^-11
+    distance rounding. Forces the blocked path so the knob is never
+    silently ignored.
     """
+    if payload not in ("fp32", "fp16"):
+        raise ValueError(f"unknown payload {payload!r}")
+    if payload != "fp32":
+        if mode in ("fused", "join"):
+            raise ValueError(f"payload={payload!r} requires the blocked loop")
+        mode = "blocked"
     if l is None:
         l = 3 * k
     if s is None:
@@ -343,7 +355,7 @@ def nn_descent(
             graph, metrics = nn_descent_blocked(
                 spark, emb, k=k, l=l, s=s, max_iters=max_iters,
                 min_update_rate=min_update_rate, seed=seed, init=init,
-                exclude_pairs=exclude_pairs, final_k=k,
+                exclude_pairs=exclude_pairs, final_k=k, payload=payload,
             )
             emb.unpersist()
             return graph, metrics

@@ -192,11 +192,30 @@ def _segment_rows(key_blk: np.ndarray, cols: dict[str, np.ndarray],
     return pd.DataFrame(rows)
 
 
-def build_emb_blocks(emb: DataFrame, g_blocks: int) -> DataFrame:
+def _mat_decode(buf, n_rows: int, dim: int) -> np.ndarray:
+    """Decode a packed matrix buffer. The element dtype (float32, or
+    float16 when the blocked loop runs with ``payload="fp16"``) is
+    inferred from the byte length, so narrow payloads need no schema
+    change and fp32/fp16 blocks can coexist in one plan."""
+    itemsize = len(buf) // max(n_rows * dim, 1)
+    dt = np.float16 if itemsize == 2 else np.float32
+    return np.frombuffer(buf, dt).reshape(-1, dim)
+
+
+def build_emb_blocks(
+    emb: DataFrame, g_blocks: int, payload: str = "fp32"
+) -> DataFrame:
     """Pack the vector table into one row per hash block: (sorted ids,
-    contiguous float32 matrix bytes). The distributed analog of the
+    contiguous matrix bytes). The distributed analog of the
     reference's in-RAM `data_` matrix (include/index/index.h:57-60) —
-    sharded, not replicated."""
+    sharded, not replicated.
+
+    ``payload="fp16"`` halves every downstream matrix byte-edge (the
+    block shuffle, the r-fold replicated hi cells, the gathered u_mat
+    packs) by storing the fp32 vectors rounded to float16. Distances
+    become approximate (relative error ~2^-11 per component) — the
+    movement-bound scale lever; default stays exact fp32."""
+    dt = np.float16 if payload == "fp16" else np.float32
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -204,6 +223,8 @@ def build_emb_blocks(emb: DataFrame, g_blocks: int) -> DataFrame:
                            "dim": "int32"})
         ids = pdf["vec_id"].to_numpy(np.int64)
         X = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+        if dt is not np.float32:
+            X = X.astype(dt)
         o = np.argsort(ids, kind="stable")
         ids, X = ids[o], np.ascontiguousarray(X[o])
         return pd.DataFrame(
@@ -537,7 +558,7 @@ def _gather1_kernel(gh: int, r: int = 1):
                 t_ids, t_tau = t_ids[to], t_tau[to]
         ids = np.asarray(emb_pdf["ids"].iloc[0], np.int64)
         dim = int(emb_pdf["dim"].iloc[0])
-        X = np.frombuffer(emb_pdf["mat"].iloc[0], np.float32).reshape(-1, dim)
+        X = _mat_decode(emb_pdf["mat"].iloc[0], ids.size, dim)
 
         # cross-merge-block duplicates of the same canonical pair land in
         # the same g (keyed by lo) — collapse them before shipping vectors
@@ -577,12 +598,12 @@ def _score_cells(packs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame):
     (+inf when the producing gather-1 had no tau rows)."""
     ids2 = np.asarray(emb_pdf["ids"].iloc[0], np.int64)
     dim = int(emb_pdf["dim"].iloc[0])
-    X2 = np.frombuffer(emb_pdf["mat"].iloc[0], np.float32).reshape(-1, dim)
+    X2 = _mat_decode(emb_pdf["mat"].iloc[0], ids2.size, dim)
     los, his, dists, taus = [], [], [], []
     for row in packs_pdf.itertuples(index=False):  # <= G cells
         lo, hi = _unpack2(np.frombuffer(row.pk, "V16"))
         u_ids = np.frombuffer(row.u_ids, np.int64)
-        U = np.frombuffer(row.u_mat, np.float32).reshape(-1, dim)
+        U = _mat_decode(row.u_mat, u_ids.size, dim)
         d = l2_gathered(U, u_ids, lo, X2, ids2, hi)
         ut = getattr(row, "u_tau", None)
         if ut is not None and len(ut):
@@ -765,11 +786,19 @@ def nn_descent_blocked(
     grid: tuple[int, int] | None = None,
     tau_filter: bool = True,
     tau_engage_rate: float = TAU_ENGAGE_RATE,
+    payload: str = "fp32",
 ) -> tuple[DataFrame, list[dict]]:
     """Blocked superstep loop — same contract as nnd_fused.nn_descent_fused
     but with NO broadcast-matrix requirement. Returns (pool, metrics);
     with ``final_k`` set the returned DataFrame is the finished graph
-    (per-src top-k, equal to topk_per_src of the pool)."""
+    (per-src top-k, equal to topk_per_src of the pool).
+
+    ``payload="fp16"`` packs the sharded matrix (and therefore every
+    gathered vector) as float16 — half the shuffle bytes on the three
+    matrix edges the round-4 stage attribution measured as dominant,
+    at the cost of ~2^-11-relative distance rounding (recall-gated in
+    tests, A/B'd in BENCH.md). Default fp32 stays bit-identical to the
+    fused path."""
     from kgraph_framework_spark.operators.knn_graph import random_init
 
     row = emb.select(
@@ -781,12 +810,12 @@ def nn_descent_blocked(
     G = g_blocks or n_emb_blocks(n, dim, s, block_bytes, parallelism=dp)
     gh, r = grid or grid_dims(n, dim, dp, block_bytes)
 
-    emb_blocks = build_emb_blocks(emb, G).persist()
+    emb_blocks = build_emb_blocks(emb, G, payload).persist()
     emb_blocks.count()
     if (gh, r) == (G, 1):
         emb_hi, emb_cells = emb_blocks, emb_blocks
     else:
-        emb_hi = build_emb_blocks(emb, gh).persist()
+        emb_hi = build_emb_blocks(emb, gh, payload).persist()
         emb_hi.count()
         emb_cells = replicate_emb_cells(emb_hi, r)
     excl_bc = None

@@ -276,3 +276,70 @@ class TestTauFilter:
                 assert all(x["tau_engaged"] for x in m)
         assert outs[True] == outs[False]
         assert mets[True] == mets[False]
+
+
+class TestFp16Payload:
+    """payload="fp16" halves every matrix byte-edge of the blocked loop
+    (block shuffle, replicated hi cells, gathered u_mat packs) for
+    ~2^-11-relative distance rounding. fp32 must stay byte-exact."""
+
+    def test_fp16_blocks_half_bytes_and_decode(self, spark, emb):
+        from kgraph_framework_spark.operators.nnd_blocked import _mat_decode
+
+        f32 = build_emb_blocks(emb, 3).collect()
+        f16 = build_emb_blocks(emb, 3, payload="fp16").collect()
+        by_g32 = {r["g"]: r for r in f32}
+        assert len(f16) == len(f32)
+        for r in f16:
+            r32 = by_g32[r["g"]]
+            assert r["ids"] == r32["ids"]
+            assert len(r["mat"]) * 2 == len(r32["mat"])
+            X16 = _mat_decode(r["mat"], len(r["ids"]), r["dim"])
+            X32 = _mat_decode(r32["mat"], len(r32["ids"]), r32["dim"])
+            assert X16.dtype == np.float16 and X32.dtype == np.float32
+            assert np.array_equal(X16, X32.astype(np.float16))
+
+    def test_fp16_scoring_close(self, spark, emb):
+        """fp16-payload distances approximate the exact fp32 ones within
+        the fp16 rounding envelope, same pair set either way."""
+        ids = [r["vec_id"] for r in emb.select("vec_id").limit(12).collect()]
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a in ids[:6] for b in ids[6:]],
+            "a long, b long",
+        )
+        b32 = build_emb_blocks(emb, 3).persist()
+        b16 = build_emb_blocks(emb, 3, payload="fp16").persist()
+        got32 = {
+            (r["a"], r["b"]): r["dist"]
+            for r in score_pairs_blocked(pairs, b32, 3).collect()
+        }
+        got16 = {
+            (r["a"], r["b"]): r["dist"]
+            for r in score_pairs_blocked(pairs, b16, 3).collect()
+        }
+        b32.unpersist()
+        b16.unpersist()
+        assert set(got16) == set(got32)
+        d32 = np.array([got32[k_] for k_ in sorted(got32)])
+        d16 = np.array([got16[k_] for k_ in sorted(got32)])
+        # squared-L2 of fp16-rounded inputs: ~2*2^-11 relative + tiny abs
+        assert np.allclose(d16, d32, rtol=5e-3, atol=1e-4)
+        assert not np.array_equal(d16, d32)  # rounding actually happened
+
+    def test_fp16_recall_floor(self, spark, emb):
+        """The approximate payload must not dent recall on the fixture:
+        same >=0.9 floor as the exact blocked build."""
+        truth = knn_bruteforce_l2(emb, k=K).persist()
+        g, m = nn_descent(spark, emb, k=K, max_iters=6, payload="fp16")
+        r = graph_recall(g.select("src", "dst"), truth)
+        truth.unpersist()
+        assert r >= 0.9, f"fp16 recall {r:.3f}"
+        assert len(m) >= 1
+
+    def test_payload_validation(self, spark, emb):
+        with pytest.raises(ValueError):
+            nn_descent(spark, emb, k=K, mode="fused", payload="fp16")
+        with pytest.raises(ValueError):
+            nn_descent(spark, emb, k=K, mode="join", payload="fp16")
+        with pytest.raises(ValueError):
+            nn_descent(spark, emb, k=K, payload="int8")

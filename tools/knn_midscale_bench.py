@@ -183,6 +183,12 @@ def main() -> None:
         "cogroup-gather path at any corpus size (the 100-TB shape)",
     )
     ap.add_argument(
+        "--payload", choices=("fp32", "fp16"), default="fp32",
+        help="matrix byte-edge precision for the blocked loop: fp16 "
+        "halves the gather/replica shuffle bytes (~2^-11 distance "
+        "rounding; forces mode=blocked)",
+    )
+    ap.add_argument(
         "--structure", choices=("flat", "hier"), default="flat",
         help="synthetic corpus geometry: 'hier' = SIFT-like multi-scale "
         "clusters + low-effective-dim noise (use for reference-"
@@ -213,7 +219,7 @@ def main() -> None:
     )
     graph, metrics = nn_descent(
         spark, emb, k=k, l=args.l, s=args.s, max_iters=iters, init=init,
-        mode=args.mode,
+        mode=args.mode, payload=args.payload,
     )
     graph = graph.persist()
     n_edges = graph.count()
@@ -230,6 +236,7 @@ def main() -> None:
         "n_vecs": n_vecs,
         "dim": DIM,
         "mode": args.mode,
+        "payload": args.payload,
         "structure": args.structure,
         "init": args.init,
         "l": args.l,
@@ -253,7 +260,7 @@ def main() -> None:
     md = f"""
 ## Mid-scale kNN-graph build ({n_vecs:,} x {DIM}-d, local[{cores}])
 
-{args.init} init + NN-descent ({result['rounds']} rounds, mode={args.mode}), k={k}, l={args.l}, s={args.s}; sampled
+{args.init} init + NN-descent ({result['rounds']} rounds, mode={args.mode}, payload={args.payload}), k={k}, l={args.l}, s={args.s}; sampled
 recall vs exact brute-force over {result['sample_queries']} queries
 (tools/knn_midscale_bench.py, deterministic {args.structure} clustered vectors).
 
