@@ -265,6 +265,7 @@ def nn_descent(
     exclude_pairs: DataFrame | None = None,
     mode: str = "auto",
     payload: str = "fp32",
+    rev_push_gate: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """Refine an initial candidate graph into a kNN graph.
 
@@ -302,6 +303,13 @@ def nn_descent(
     float16 — halves the dominant matrix shuffle edges for ~2^-11
     distance rounding. Forces the blocked path so the knob is never
     silently ignored.
+
+    ``rev_push_gate`` (fused/blocked loops; default on) applies the
+    reference's reverse-push gate — a reverse sample reaches the
+    receiver's candidate lists only when its distance exceeds the
+    receiver's round-start pool worst (src/index_graph.cpp:90-103) —
+    shrinking pairgen volume as pools converge. The join loop keeps
+    ungated reference-paper semantics.
     """
     if payload not in ("fp32", "fp16"):
         raise ValueError(f"unknown payload {payload!r}")
@@ -340,7 +348,7 @@ def nn_descent(
             pool, metrics = nn_descent_fused(
                 spark, emb, bc, k=k, l=l, s=s, max_iters=max_iters,
                 min_update_rate=min_update_rate, seed=seed, init=init,
-                exclude_pairs=exclude_pairs,
+                exclude_pairs=exclude_pairs, rev_push_gate=rev_push_gate,
             )
         else:
             # beyond the broadcast cap (or forced): same kernels, matrix
@@ -356,6 +364,7 @@ def nn_descent(
                 spark, emb, k=k, l=l, s=s, max_iters=max_iters,
                 min_update_rate=min_update_rate, seed=seed, init=init,
                 exclude_pairs=exclude_pairs, final_k=k, payload=payload,
+                rev_push_gate=rev_push_gate,
             )
             emb.unpersist()
             return graph, metrics

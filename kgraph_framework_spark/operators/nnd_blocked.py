@@ -79,14 +79,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgraph_framework_spark.operators.nnd_fused import (
+    TAU_NBR,
     _blk_np,
     _canonical_pairs,
     _empty,
     _merge_np,
     _order_target_dist,
     _pack2,
+    _pool_tau_np,
     _ranks,
     _sample_np,
+    _split_tau_and_gate,
+    _tau_lookup,
     _unpack2,
     auto_n_blocks,
     blk_col,
@@ -131,7 +135,8 @@ POOL_P_SCHEMA = (
     "blk int, src binary, dst binary, dist binary, is_new binary"
 )
 SAMPLE_P_SCHEMA = (
-    "blk int, key binary, nbr binary, is_new binary, fwd binary"
+    "blk int, key binary, nbr binary, is_new binary, fwd binary, "
+    "dist binary"
 )
 PAIR_P_SCHEMA = "g int, pk binary"
 #: gather-1 input: pair-key rows (pk set) unioned with per-vertex tau
@@ -150,7 +155,7 @@ MERGE_P_SCHEMA = POOL_P_SCHEMA + ", n_entries long, n_fresh long"
 _POOL_P_COLS = {"blk": "int32", "src": "object", "dst": "object",
                 "dist": "object", "is_new": "object"}
 _SAMPLE_P_COLS = {"blk": "int32", "key": "object", "nbr": "object",
-                  "is_new": "object", "fwd": "object"}
+                  "is_new": "object", "fwd": "object", "dist": "object"}
 _PAIR_P_COLS = {"g": "int32", "pk": "object"}
 _PACK_P_COLS = {"g2": "int32", "pk": "object", "u_ids": "object",
                 "u_mat": "object", "dim": "int32", "u_tau": "object",
@@ -374,19 +379,6 @@ def unpack_pool_topk(pool_p: DataFrame, k: int | None) -> DataFrame:
     return pool_p.mapInPandas(fn, "src long, dst long, dist double")
 
 
-def _tau_lookup(t_ids: np.ndarray, t_tau: np.ndarray,
-                q: np.ndarray) -> np.ndarray:
-    """tau for each queried vertex id; +inf where the id has no finite
-    threshold (unsaturated pool — every candidate must be kept)."""
-    if t_ids.size == 0:
-        return np.full(q.size, np.inf)
-    idx = np.searchsorted(t_ids, q)
-    ok = idx < t_ids.size
-    idx0 = np.where(ok, idx, 0)
-    hit = ok & (t_ids[idx0] == q)
-    return np.where(hit, t_tau[idx0], np.inf)
-
-
 def _tau_packed_map(l: int, out_blocks: int, r: int = 1):
     """Per-vertex round-start insertion thresholds — the reference's
     threshold-vs-worst predicate F5 (src/index_graph.cpp:29-39) applied
@@ -412,16 +404,9 @@ def _tau_packed_map(l: int, out_blocks: int, r: int = 1):
                 if s.size == 0:
                     continue
                 dist = np.frombuffer(row.dist, np.float64)
-                o = np.argsort(s, kind="stable")
-                s_s, d_s = s[o], dist[o]
-                starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
-                ids = s_s[starts]
-                cnt = np.diff(np.append(starts, s_s.size))
-                tau = np.maximum.reduceat(d_s, starts)
-                m = cnt >= l
-                if not m.any():
+                ids, tau = _pool_tau_np(s, dist, l)
+                if ids.size == 0:
                     continue
-                ids, tau = ids[m], tau[m]
                 out = _segment_rows(
                     _blk_np(ids, out_blocks),
                     {"t_ids": ids, "t_tau": tau},
@@ -438,30 +423,47 @@ def _tau_packed_map(l: int, out_blocks: int, r: int = 1):
     return it_fn
 
 
-def _sample_packed_kernel(s: int, n_blocks: int):
+def _sample_packed_kernel(s: int, n_blocks: int, gate_l: int | None = None):
     """Stage 1 (packed): top-of-pool S per (vertex, flag), fwd + rev,
-    re-segmented into one packed row per destination block."""
+    re-segmented into one packed row per destination block. With
+    ``gate_l`` set, TAU_NBR sentinel rows carrying each saturated
+    vertex's round-start pool worst ride the same segmentation to the
+    pairgen block for the reverse-push gate (see
+    nnd_fused._split_tau_and_gate)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return _empty(_SAMPLE_P_COLS)
-        key, nbr, isn, fwd = _sample_np(
-            _cat(pdf, "src", np.int64),
+        src = _cat(pdf, "src", np.int64)
+        dist_in = _cat(pdf, "dist", np.float64)
+        key, nbr, isn, fwd, dist = _sample_np(
+            src,
             _cat(pdf, "dst", np.int64),
             _cat(pdf, "is_new", np.uint8).astype(bool),
-            _cat(pdf, "dist", np.float64),
+            dist_in,
             s,
         )
+        if gate_l is not None:
+            t_ids, t_tau = _pool_tau_np(src, dist_in, gate_l)
+            if t_ids.size:
+                key = np.concatenate([key, t_ids])
+                nbr = np.concatenate(
+                    [nbr, np.full(t_ids.size, TAU_NBR, np.int64)]
+                )
+                z = np.zeros(t_ids.size, bool)
+                isn = np.concatenate([isn, z])
+                fwd = np.concatenate([fwd, z])
+                dist = np.concatenate([dist, t_tau])
         return _segment_rows(
             _blk_np(key, n_blocks),
             {"key": key, "nbr": nbr, "is_new": isn.astype(np.uint8),
-             "fwd": fwd.astype(np.uint8)},
+             "fwd": fwd.astype(np.uint8), "dist": dist},
         )
 
     return fn
 
 
-def _sample_packed_map(s: int, n_blocks: int):
+def _sample_packed_map(s: int, n_blocks: int, gate_l: int | None = None):
     """Stage 1 as a NARROW map: the pool invariant is one packed row per
     block (pack_pool at init, _merge_packed_kernel every round), so each
     Arrow batch already holds complete per-vertex pools — rows are
@@ -472,7 +474,7 @@ def _sample_packed_map(s: int, n_blocks: int):
     follows pairs forward samples with reverse samples from OTHER
     blocks, so the sample->pairgen exchange stays the one semantically
     required pool-sized shuffle."""
-    fn = _sample_packed_kernel(s, n_blocks)
+    fn = _sample_packed_kernel(s, n_blocks, gate_l)
 
     def it_fn(it):
         for pdf in it:
@@ -509,19 +511,21 @@ def _clears_packed(it):
 
 
 def _pairgen_packed_kernel(s: int, seed: int, g_blocks: int, excl_bc):
-    """Stage 2 (packed): reverse reservoir cap + local join + canonical
-    dedupe, emitting 16-byte pair keys segmented by g = blk(lo)."""
+    """Stage 2 (packed): reverse-push gate + reverse reservoir cap +
+    local join + canonical dedupe, emitting 16-byte pair keys segmented
+    by g = blk(lo)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return _empty(_PAIR_P_COLS)
-        lo, hi = _canonical_pairs(
+        key, nbr, new, fwd = _split_tau_and_gate(
             _cat(pdf, "key", np.int64),
             _cat(pdf, "nbr", np.int64),
             _cat(pdf, "is_new", np.uint8).astype(bool),
             _cat(pdf, "fwd", np.uint8).astype(bool),
-            s, seed, excl_bc,
+            _cat(pdf, "dist", np.float64),
         )
+        lo, hi = _canonical_pairs(key, nbr, new, fwd, s, seed, excl_bc)
         if lo.size == 0:
             return _empty(_PAIR_P_COLS)
         return _segment_rows(
@@ -787,6 +791,7 @@ def nn_descent_blocked(
     tau_filter: bool = True,
     tau_engage_rate: float = TAU_ENGAGE_RATE,
     payload: str = "fp32",
+    rev_push_gate: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """Blocked superstep loop — same contract as nnd_fused.nn_descent_fused
     but with NO broadcast-matrix requirement. Returns (pool, metrics);
@@ -844,7 +849,10 @@ def nn_descent_blocked(
         t_round = time.monotonic()
         engage_tau = tau_filter and prev_rate < tau_engage_rate
         samples = (
-            pool_p.mapInPandas(_sample_packed_map(s, B), SAMPLE_P_SCHEMA)
+            pool_p.mapInPandas(
+                _sample_packed_map(s, B, l if rev_push_gate else None),
+                SAMPLE_P_SCHEMA,
+            )
             .persist()
         )
         clears = samples.mapInPandas(_clears_packed, CAND_P_SCHEMA)

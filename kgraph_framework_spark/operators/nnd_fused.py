@@ -54,7 +54,9 @@ from kgraph_framework_spark.plans.pregel import (
     truncate_state,
 )
 
-SAMPLE_SCHEMA = "blk int, key long, nbr long, is_new boolean, fwd boolean"
+SAMPLE_SCHEMA = (
+    "blk int, key long, nbr long, is_new boolean, fwd boolean, dist double"
+)
 CAND_SCHEMA = "blk int, src long, dst long, dist double, clear boolean"
 MERGE_SCHEMA = "src long, dst long, dist double, is_new boolean, fresh boolean"
 
@@ -178,6 +180,40 @@ def _unpack2(pk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return rec["a"].astype(np.int64), rec["b"].astype(np.int64)
 
 
+def _tau_lookup(t_ids: np.ndarray, t_tau: np.ndarray,
+                q: np.ndarray) -> np.ndarray:
+    """tau for each queried vertex id; +inf where the id has no finite
+    threshold (unsaturated pool). Callers interpret +inf per site: the
+    insertion filter keeps every candidate (dist <= tau), the
+    reverse-push gate admits every arrival (isinf short-circuit)."""
+    if t_ids.size == 0:
+        return np.full(q.size, np.inf)
+    idx = np.searchsorted(t_ids, q)
+    ok = idx < t_ids.size
+    idx0 = np.where(ok, idx, 0)
+    hit = ok & (t_ids[idx0] == q)
+    return np.where(hit, t_tau[idx0], np.inf)
+
+
+def _pool_tau_np(src: np.ndarray, dist: np.ndarray,
+                 l: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-vertex pool-worst thresholds: (sorted ids, max dist) for the
+    SATURATED vertices only (pool holds >= l entries). Unsaturated
+    vertices are omitted — their conceptual worst is +inf (any insert
+    accepted), which every lookup site treats as "no threshold"."""
+    if src.size == 0:
+        z = np.empty(0, np.int64)
+        return z, np.empty(0, np.float64)
+    o = np.argsort(src, kind="stable")
+    s_s, d_s = src[o], dist[o]
+    starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+    ids = s_s[starts]
+    cnt = np.diff(np.append(starts, s_s.size))
+    tau = np.maximum.reduceat(d_s, starts)
+    m = cnt >= l
+    return ids[m], tau[m]
+
+
 def _member(sorted_pack: np.ndarray, q: np.ndarray) -> np.ndarray:
     if sorted_pack.size == 0 or q.size == 0:
         return np.zeros(q.size, bool)
@@ -216,7 +252,12 @@ def _order_target_dist(
 
 
 _SAMPLE_COLS = {"blk": "int32", "key": "int64", "nbr": "int64",
-                "is_new": "bool", "fwd": "bool"}
+                "is_new": "bool", "fwd": "bool", "dist": "float64"}
+
+#: sentinel ``nbr`` marking a tau threshold row in the sample stream
+#: (real neighbor ids are non-negative); its ``dist`` carries the
+#: keyed vertex's round-start pool worst for the reverse-push gate.
+TAU_NBR = -1
 _CAND_COLS = {"blk": "int32", "src": "int64", "dst": "int64",
               "dist": "float64", "clear": "bool"}
 _MERGE_COLS = {"src": "int64", "dst": "int64", "dist": "float64",
@@ -302,7 +343,9 @@ def score_sym_topk(pairs: DataFrame, bc, k: int) -> DataFrame:
     )
 
 
-def _sample_kernel(s: int, seed: int, n_blocks: int):
+def _sample_kernel(
+    s: int, seed: int, n_blocks: int, gate_l: int | None = None
+):
     """Stage 1: per-vertex S new + S old samples, emitted fwd + rev.
 
     Samples are TOP-OF-POOL — the S closest entries per flag, by (dist,
@@ -315,21 +358,37 @@ def _sample_kernel(s: int, seed: int, n_blocks: int):
     converges only when S is a large fraction of L. ``seed`` is kept for
     signature stability; forward sampling no longer uses it (the reverse
     reservoir in pairgen still does).
+
+    With ``gate_l`` set, the kernel also emits one TAU_NBR sentinel row
+    per vertex whose round-start pool is saturated (>= gate_l entries),
+    carrying that vertex's pool worst in ``dist``. The sentinel's key IS
+    the vertex, so it rides the existing sample shuffle to exactly the
+    pairgen block where that vertex's reverse arrivals land — no extra
+    stage, no broadcast (see the reverse-push gate in _pairgen_kernel).
     """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return _empty(_SAMPLE_COLS)
-        key, nbr, isn, fwd = _sample_np(
-            pdf["src"].to_numpy(np.int64),
-            pdf["dst"].to_numpy(np.int64),
-            pdf["is_new"].to_numpy(bool),
-            pdf["dist"].to_numpy(np.float64),
-            s,
-        )
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        isn_in = pdf["is_new"].to_numpy(bool)
+        dist_in = pdf["dist"].to_numpy(np.float64)
+        key, nbr, isn, fwd, dist = _sample_np(src, dst, isn_in, dist_in, s)
+        if gate_l is not None:
+            t_ids, t_tau = _pool_tau_np(src, dist_in, gate_l)
+            if t_ids.size:
+                key = np.concatenate([key, t_ids])
+                nbr = np.concatenate(
+                    [nbr, np.full(t_ids.size, TAU_NBR, np.int64)]
+                )
+                z = np.zeros(t_ids.size, bool)
+                isn = np.concatenate([isn, z])
+                fwd = np.concatenate([fwd, z])
+                dist = np.concatenate([dist, t_tau])
         return pd.DataFrame(
             {"blk": _blk_np(key, n_blocks), "key": key, "nbr": nbr,
-             "is_new": isn, "fwd": fwd}
+             "is_new": isn, "fwd": fwd, "dist": dist}
         )
 
     return fn
@@ -341,24 +400,68 @@ def _sample_np(
     new: np.ndarray,
     dist: np.ndarray,
     s: int,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Numpy core of the sample stage, shared with the packed blocked
     loop (operators/nnd_blocked): top-of-pool S per (vertex, flag),
     emitted forward (keyed by src) and reverse (keyed by dst). Order-
-    insensitive: the lexsort totally orders the group's entries."""
+    insensitive: the lexsort totally orders the group's entries.
+
+    The emitted rows carry the edge distance so the pairgen site can
+    apply the reference's reverse-push gate (a reverse arrival is only
+    admitted when its distance exceeds the receiving vertex's pool
+    worst, src/index_graph.cpp:91-103 — see _canonical_pairs)."""
     order = np.lexsort((dst, dist, new, src))
-    src_s, dst_s, new_s = src[order], dst[order], new[order]
+    src_s, dst_s, new_s, dist_s = (
+        src[order], dst[order], new[order], dist[order]
+    )
     change = np.empty(order.size, bool)
     if order.size:
         change[0] = True
         change[1:] = (src_s[1:] != src_s[:-1]) | (new_s[1:] != new_s[:-1])
     keep = _ranks(change) < s
-    ks, kd, kn = src_s[keep], dst_s[keep], new_s[keep]
+    ks, kd, kn, kdist = src_s[keep], dst_s[keep], new_s[keep], dist_s[keep]
     key = np.concatenate([ks, kd])
     nbr = np.concatenate([kd, ks])
     isn = np.concatenate([kn, kn])
     fwd = np.concatenate([np.ones(ks.size, bool), np.zeros(ks.size, bool)])
-    return key, nbr, isn, fwd
+    return key, nbr, isn, fwd, np.concatenate([kdist, kdist])
+
+
+def _split_tau_and_gate(
+    key: np.ndarray,
+    nbr: np.ndarray,
+    new: np.ndarray,
+    fwd: np.ndarray,
+    dist: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Reverse-push gate at the pairgen site — the reference's
+    ``nn->distance > nhood_o.pool.rbegin()->distance`` predicate
+    (src/index_graph.cpp:90-103): a reverse sample is admitted to the
+    receiver's candidate lists only when its edge distance EXCEEDS the
+    receiver's round-start pool worst. A closer edge is already in the
+    receiver's own pool (symmetric inserts; min-dedupe), so the receiver
+    samples it forward itself and the reverse copy is redundant.
+
+    TAU_NBR sentinel rows in the sample stream (see _sample_kernel)
+    carry the per-vertex thresholds; vertices without one (pool not yet
+    saturated — the reference's pools are always full, ours start at
+    K < L) conservatively admit every reverse arrival. Forward rows are
+    never dropped. Returns the gated (key, nbr, new, fwd)."""
+    tau_m = nbr == TAU_NBR
+    if not tau_m.any():
+        return key, nbr, new, fwd
+    t_ids, t_tau = key[tau_m], dist[tau_m]
+    to = np.argsort(t_ids, kind="stable")
+    t_ids, t_tau = t_ids[to], t_tau[to]
+    real = ~tau_m
+    key, nbr, new, fwd, dist = (
+        key[real], nbr[real], new[real], fwd[real], dist[real]
+    )
+    tau = _tau_lookup(t_ids, t_tau, key)
+    keep = fwd | np.isinf(tau) | (dist > tau)
+    if keep.all():
+        return key, nbr, new, fwd
+    return key[keep], nbr[keep], new[keep], fwd[keep]
 
 
 def _canonical_pairs(
@@ -443,15 +546,19 @@ def _canonical_pairs(
 
 
 def _pairgen_kernel(s: int, l: int, seed: int, n_blocks: int, bc, excl_bc):
-    """Stage 2: reverse cap + local join + in-place scoring + target cap."""
+    """Stage 2: reverse-push gate + reverse cap + local join + in-place
+    scoring + target cap."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return _empty(_CAND_COLS)
-        key = pdf["key"].to_numpy(np.int64)
-        nbr = pdf["nbr"].to_numpy(np.int64)
-        new = pdf["is_new"].to_numpy(bool)
-        fwd = pdf["fwd"].to_numpy(bool)
+        key, nbr, new, fwd = _split_tau_and_gate(
+            pdf["key"].to_numpy(np.int64),
+            pdf["nbr"].to_numpy(np.int64),
+            pdf["is_new"].to_numpy(bool),
+            pdf["fwd"].to_numpy(bool),
+            pdf["dist"].to_numpy(np.float64),
+        )
 
         lo, hi = _canonical_pairs(key, nbr, new, fwd, s, seed, excl_bc)
 
@@ -629,10 +736,15 @@ def nn_descent_fused(
     init: DataFrame | None = None,
     exclude_pairs: DataFrame | None = None,
     n_blocks: int | None = None,
+    rev_push_gate: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """Fused superstep loop. ``bc`` is a knn_graph.broadcast_matrix handle
     (required — callers fall back to the join path without one). Returns
-    (pool, metrics); the caller applies the final top-K cut."""
+    (pool, metrics); the caller applies the final top-K cut.
+
+    ``rev_push_gate`` (default on, matching the reference) admits a
+    reverse sample only when its distance exceeds the receiver's
+    round-start pool worst — see _split_tau_and_gate."""
     from kgraph_framework_spark.operators.knn_graph import (
         _score_pairs,
         random_init,
@@ -664,7 +776,10 @@ def nn_descent_fused(
             "is_new",
         )
         samples = pool_b.groupBy("blk").applyInPandas(
-            _sample_kernel(s, seed + 3 * it + 1, B), SAMPLE_SCHEMA
+            _sample_kernel(
+                s, seed + 3 * it + 1, B, l if rev_push_gate else None
+            ),
+            SAMPLE_SCHEMA,
         )
         cands = samples.groupBy("blk").applyInPandas(
             _pairgen_kernel(s, l, seed + 3 * it + 2, B, bc, excl_bc),

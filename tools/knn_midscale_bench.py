@@ -189,6 +189,12 @@ def main() -> None:
         "rounding; forces mode=blocked)",
     )
     ap.add_argument(
+        "--no-rev-gate", action="store_true",
+        help="disable the reference's reverse-push gate (admit every "
+        "reverse sample regardless of the receiver's pool worst) — "
+        "for A/B against the default gated loop",
+    )
+    ap.add_argument(
         "--structure", choices=("flat", "hier"), default="flat",
         help="synthetic corpus geometry: 'hier' = SIFT-like multi-scale "
         "clusters + low-effective-dim noise (use for reference-"
@@ -220,6 +226,7 @@ def main() -> None:
     graph, metrics = nn_descent(
         spark, emb, k=k, l=args.l, s=args.s, max_iters=iters, init=init,
         mode=args.mode, payload=args.payload,
+        rev_push_gate=not args.no_rev_gate,
     )
     graph = graph.persist()
     n_edges = graph.count()
@@ -237,6 +244,7 @@ def main() -> None:
         "dim": DIM,
         "mode": args.mode,
         "payload": args.payload,
+        "rev_push_gate": not args.no_rev_gate,
         "structure": args.structure,
         "init": args.init,
         "l": args.l,
