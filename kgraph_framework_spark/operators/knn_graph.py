@@ -265,7 +265,7 @@ def nn_descent(
     exclude_pairs: DataFrame | None = None,
     mode: str = "auto",
     payload: str = "fp32",
-    rev_push_gate: bool = True,
+    rev_push_gate: bool = False,
 ) -> tuple[DataFrame, list[dict]]:
     """Refine an initial candidate graph into a kNN graph.
 
@@ -304,12 +304,19 @@ def nn_descent(
     distance rounding. Forces the blocked path so the knob is never
     silently ignored.
 
-    ``rev_push_gate`` (fused/blocked loops; default on) applies the
+    ``rev_push_gate`` (fused/blocked loops; default OFF) applies the
     reference's reverse-push gate — a reverse sample reaches the
     receiver's candidate lists only when its distance exceeds the
     receiver's round-start pool worst (src/index_graph.cpp:90-103) —
-    shrinking pairgen volume as pools converge. The join loop keeps
-    ungated reference-paper semantics.
+    shrinking pairgen volume as pools converge. Measured (BENCH.md
+    reverse-push-gate A/B): in this dataflow the gate's sentinel rows
+    cost wall in early rounds and the pruned reverse samples delay
+    convergence by ~1-3 rounds at equal recall, so end-to-end it is
+    wall-neutral at 500k and ~1.5x slower at 50k on this host — the
+    candidate-byte cut is a network lever for real clusters, like
+    payload="fp16". Default off; flip on for strict reference parity
+    or network-bound deployments. The join loop keeps ungated
+    reference-paper semantics.
     """
     if payload not in ("fp32", "fp16"):
         raise ValueError(f"unknown payload {payload!r}")

@@ -791,7 +791,7 @@ def nn_descent_blocked(
     tau_filter: bool = True,
     tau_engage_rate: float = TAU_ENGAGE_RATE,
     payload: str = "fp32",
-    rev_push_gate: bool = True,
+    rev_push_gate: bool = False,
 ) -> tuple[DataFrame, list[dict]]:
     """Blocked superstep loop — same contract as nnd_fused.nn_descent_fused
     but with NO broadcast-matrix requirement. Returns (pool, metrics);

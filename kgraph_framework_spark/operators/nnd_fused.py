@@ -736,13 +736,14 @@ def nn_descent_fused(
     init: DataFrame | None = None,
     exclude_pairs: DataFrame | None = None,
     n_blocks: int | None = None,
-    rev_push_gate: bool = True,
+    rev_push_gate: bool = False,
 ) -> tuple[DataFrame, list[dict]]:
     """Fused superstep loop. ``bc`` is a knn_graph.broadcast_matrix handle
     (required — callers fall back to the join path without one). Returns
     (pool, metrics); the caller applies the final top-K cut.
 
-    ``rev_push_gate`` (default on, matching the reference) admits a
+    ``rev_push_gate`` (reference parity; default OFF per the measured
+    A/B in BENCH.md — see knn_graph.nn_descent's docstring) admits a
     reverse sample only when its distance exceeds the receiver's
     round-start pool worst — see _split_tau_and_gate."""
     from kgraph_framework_spark.operators.knn_graph import (

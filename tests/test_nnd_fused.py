@@ -166,16 +166,16 @@ class TestRevPushGate:
         k2, n2, new2, f2 = _split_tau_and_gate(key, nbr, new, fwd, dist)
         assert k2.tolist() == [1, 2] and n2.tolist() == [2, 1]
 
-    def test_gate_off_paths_bit_identical(self, spark, emb):
-        """The ungated loops must stay bit-identical across fused and
-        blocked after the gate refactor (the gated default pair is
-        covered by TestBlockedVsFused.test_bit_identical_graph)."""
+    def test_gate_on_paths_bit_identical(self, spark, emb):
+        """The GATED loops must stay bit-identical across fused and
+        blocked (the ungated default pair is covered by
+        TestBlockedVsFused.test_bit_identical_graph)."""
         gf, mf = nn_descent(
-            spark, emb, k=K, max_iters=2, rev_push_gate=False
+            spark, emb, k=K, max_iters=2, rev_push_gate=True
         )
         gb, mb = nn_descent(
             spark, emb, k=K, max_iters=2, mode="blocked",
-            rev_push_gate=False,
+            rev_push_gate=True,
         )
         assert gf.orderBy("src", "dst").collect() == gb.orderBy(
             "src", "dst"
@@ -189,7 +189,9 @@ class TestRevPushGate:
         gate admits strictly fewer reverse arrivals, so the per-round
         fresh-insert counts must not EXCEED the ungated loop's."""
         truth = knn_bruteforce_l2(emb, k=K).persist()
-        g_on, m_on = nn_descent(spark, emb, k=K, max_iters=6)
+        g_on, m_on = nn_descent(
+            spark, emb, k=K, max_iters=6, rev_push_gate=True
+        )
         g_off, m_off = nn_descent(
             spark, emb, k=K, max_iters=6, rev_push_gate=False
         )

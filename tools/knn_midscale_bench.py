@@ -189,10 +189,10 @@ def main() -> None:
         "rounding; forces mode=blocked)",
     )
     ap.add_argument(
-        "--no-rev-gate", action="store_true",
-        help="disable the reference's reverse-push gate (admit every "
-        "reverse sample regardless of the receiver's pool worst) — "
-        "for A/B against the default gated loop",
+        "--rev-gate", action="store_true",
+        help="enable the reference's reverse-push gate (admit a reverse "
+        "sample only when its distance exceeds the receiver's pool "
+        "worst) — default off per the measured A/B in BENCH.md",
     )
     ap.add_argument(
         "--structure", choices=("flat", "hier"), default="flat",
@@ -226,7 +226,7 @@ def main() -> None:
     graph, metrics = nn_descent(
         spark, emb, k=k, l=args.l, s=args.s, max_iters=iters, init=init,
         mode=args.mode, payload=args.payload,
-        rev_push_gate=not args.no_rev_gate,
+        rev_push_gate=args.rev_gate,
     )
     graph = graph.persist()
     n_edges = graph.count()
@@ -244,7 +244,7 @@ def main() -> None:
         "dim": DIM,
         "mode": args.mode,
         "payload": args.payload,
-        "rev_push_gate": not args.no_rev_gate,
+        "rev_push_gate": args.rev_gate,
         "structure": args.structure,
         "init": args.init,
         "l": args.l,
