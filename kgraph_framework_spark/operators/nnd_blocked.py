@@ -815,14 +815,29 @@ def nn_descent_blocked(
     G = g_blocks or n_emb_blocks(n, dim, s, block_bytes, parallelism=dp)
     gh, r = grid or grid_dims(n, dim, dp, block_bytes)
 
-    emb_blocks = build_emb_blocks(emb, G, payload).persist()
+    # The corpus-derived cogroup sides never change between rounds, so
+    # cache them ALREADY HASH-PARTITIONED on the cogroup key: the cached
+    # InMemoryTableScan reports HashPartitioning(g, p_static), which
+    # satisfies the cogroup's ClusteredDistribution, so EnsureRequirements
+    # elides the per-round exchange that used to re-ship the sharded
+    # matrix (~corpus bytes) and the r-replicated grid cells (~r*corpus
+    # bytes) EVERY round — the two static byte-edges the round-4 stage
+    # attribution measured at ~1.5 GB/round on a 256 MB corpus. Only the
+    # fresh pair/pack sides shuffle per round now.
+    p_static = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    emb_blocks = (
+        build_emb_blocks(emb, G, payload).repartition(p_static, "g").persist()
+    )
     emb_blocks.count()
     if (gh, r) == (G, 1):
-        emb_hi, emb_cells = emb_blocks, emb_blocks
+        emb_cells = emb_blocks
     else:
-        emb_hi = build_emb_blocks(emb, gh, payload).persist()
-        emb_hi.count()
-        emb_cells = replicate_emb_cells(emb_hi, r)
+        emb_cells = (
+            replicate_emb_cells(build_emb_blocks(emb, gh, payload), r)
+            .repartition(p_static, "g")
+            .persist()
+        )
+        emb_cells.count()
     excl_bc = None
     if exclude_pairs is not None:
         excl_bc = collect_exclusion(exclude_pairs, spark)
@@ -926,7 +941,7 @@ def nn_descent_blocked(
 
     if excl_bc is not None:
         excl_bc.unpersist()
-    if emb_hi is not emb_blocks:
-        emb_hi.unpersist()
+    if emb_cells is not emb_blocks:
+        emb_cells.unpersist()
     emb_blocks.unpersist()
     return unpack_pool_topk(pool_p, final_k), metrics

@@ -343,3 +343,61 @@ class TestFp16Payload:
             nn_descent(spark, emb, k=K, mode="join", payload="fp16")
         with pytest.raises(ValueError):
             nn_descent(spark, emb, k=K, payload="int8")
+
+
+class TestStaticSideExchangeReuse:
+    """The corpus-derived cogroup sides (emb blocks / grid cells) are
+    static across descent rounds; nn_descent_blocked caches them ALREADY
+    hash-partitioned on the cogroup key so EnsureRequirements elides
+    their per-round exchange (the ~corpus-bytes and ~r*corpus-bytes
+    shuffle edges the round-4 stage attribution measured)."""
+
+    @staticmethod
+    def _cached_scan_exchanges(df) -> int:
+        """ENSURE_REQUIREMENTS exchanges that re-shuffle the cached static
+        side (an InMemoryTableScan within 2 plan lines below)."""
+        import re
+
+        s = df._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString prints BOTH the Final Plan and the pre-execution
+        # Initial Plan; only the Final Plan's exchanges actually ran.
+        lines = s.split("== Initial Plan ==")[0].splitlines()
+        n = 0
+        for i, ln in enumerate(lines):
+            if "ENSURE_REQUIREMENTS" in ln and "Exchange hashpartitioning" in ln:
+                below = "\n".join(lines[i + 1 : i + 3])
+                if "InMemoryTableScan" in below:
+                    n += 1
+        return n
+
+    def test_prepartitioned_side_elides_exchange(self, spark, emb):
+        """Same results, and the cached block side is consumed WITHOUT a
+        runtime re-shuffle when cached post-repartition on g (what
+        nn_descent_blocked now does for emb_blocks and emb_cells)."""
+        ids = [r["vec_id"] for r in emb.select("vec_id").limit(12).collect()]
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a in ids[:6] for b in ids[6:]],
+            "a long, b long",
+        )
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        plain = build_emb_blocks(emb, 3).persist()
+        plain.count()
+        part = build_emb_blocks(emb, 3).repartition(p, "g").persist()
+        part.count()
+
+        out_plain = score_pairs_blocked(pairs, plain, 3)
+        out_part = score_pairs_blocked(pairs, part, 3)
+        rows_plain = sorted(map(tuple, out_plain.collect()))
+        rows_part = sorted(map(tuple, out_part.collect()))
+        n_plain = self._cached_scan_exchanges(out_plain)
+        n_part = self._cached_scan_exchanges(out_part)
+        plain.unpersist()
+        part.unpersist()
+
+        assert rows_part == rows_plain  # bit-identical distances
+        # plain: the cached side is re-exchanged at runtime (>=1 distinct
+        # exchange; AQE may reuse one exchange for both cogroup gathers);
+        # part: the cache already satisfies the cogroup's distribution,
+        # so NO exchange may touch it.
+        assert n_plain >= 1, n_plain
+        assert n_part == 0, n_part
