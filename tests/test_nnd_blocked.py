@@ -89,6 +89,10 @@ class TestEmbBlocks:
         # 10^9 x 128-d = 512 GB: per-task memory dominates, grid is flat
         gh, r = grid_dims(10**9, 128, 32)
         assert gh == 3815 and r == 1
+        # high-dim intermediate regime (the 500k x 960-d probe in
+        # BENCH.md): 1.92 GB matrix binds gh above sqrt(tasks)
+        # (15 > ~6), yet r > 1 still restores task parallelism
+        assert grid_dims(500_000, 960, 32) == (15, 3)
         # replication never exceeds what parallelism needs: gh*r covers
         # the task target within one gh
         for n, dim, p in ((50_000, 64, 8), (10**7, 128, 256)):
