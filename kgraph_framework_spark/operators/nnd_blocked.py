@@ -103,7 +103,7 @@ from kgraph_framework_spark.plans.pregel import (
     truncate_state,
 )
 
-EMB_BLOCK_SCHEMA = "g int, ids array<long>, mat binary, dim int"
+EMB_BLOCK_SCHEMA = "g int, c int, ids array<long>, mat binary, dim int"
 
 #: target bytes per embedding block. Gathered-vector duplication per
 #: round is bounded by touched-rows x G x 4d, so FEWER, LARGER blocks
@@ -111,6 +111,21 @@ EMB_BLOCK_SCHEMA = "g int, ids array<long>, mat binary, dim int"
 #: opposing constraint. 128 MB keeps both comfortable on executor-sized
 #: tasks; G grows linearly with corpus bytes so the bound holds at any N.
 EMB_BLOCK_BYTES = 128 << 20
+
+#: hard cap on any single packed matrix buffer (one DataFrame row).
+#: A logical emb block / gather pack is split into ``c``-ordered chunk
+#: ROWS of at most this many matrix bytes. Distinct knob from
+#: EMB_BLOCK_BYTES on purpose: block size sets per-TASK working memory
+#: and gather duplication (a measured optimum), row size sets what the
+#: JVM row machinery must hold CONTIGUOUSLY per row. Unbounded rows OOM
+#: the cache-read -> sort -> cogroup path at high dim: each cached
+#: 128 MB binary is re-extracted into an UnsafeRow (BufferHolder doubles
+#: to ~2x row bytes) inside the cogroup's SortExec on every concurrent
+#: task — measured: a 500k x 960-d build (1.92 GB corpus, 128 MB cells,
+#: r=3 replicas) OOMs a 48 GB heap in round 1; the same build with
+#: 32 MB chunk rows completes (BENCH.md). Kernels concatenate chunks
+#: in c order, so results are bit-identical at any chunk size.
+PACK_ROW_BYTES = 32 << 20
 
 #: target bytes of 16-byte pair keys per gather-1 group (all pairs whose
 #: lo falls in one block land in one task) — the second lower bound on G.
@@ -197,6 +212,22 @@ def _segment_rows(key_blk: np.ndarray, cols: dict[str, np.ndarray],
     return pd.DataFrame(rows)
 
 
+def _emb_concat(emb_pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
+    """Reassemble a logical embedding block from its chunk rows: sort by
+    c, concatenate ids and decoded matrices. Chunks are contiguous
+    slices of the block's sorted id range (build_emb_blocks), so the
+    result is the globally id-sorted (ids, X) at any chunk size."""
+    dim = int(emb_pdf["dim"].iloc[0])
+    if len(emb_pdf) > 1:
+        emb_pdf = emb_pdf.sort_values("c")
+    id_bufs = [np.asarray(a, np.int64) for a in emb_pdf["ids"]]
+    mats = [_mat_decode(b, a.size, dim)
+            for a, b in zip(id_bufs, emb_pdf["mat"])]
+    if len(id_bufs) == 1:
+        return id_bufs[0], mats[0], dim
+    return np.concatenate(id_bufs), np.concatenate(mats), dim
+
+
 def _mat_decode(buf, n_rows: int, dim: int) -> np.ndarray:
     """Decode a packed matrix buffer. The element dtype (float32, or
     float16 when the blocked loop runs with ``payload="fp16"``) is
@@ -208,12 +239,18 @@ def _mat_decode(buf, n_rows: int, dim: int) -> np.ndarray:
 
 
 def build_emb_blocks(
-    emb: DataFrame, g_blocks: int, payload: str = "fp32"
+    emb: DataFrame,
+    g_blocks: int,
+    payload: str = "fp32",
+    row_bytes: int = PACK_ROW_BYTES,
 ) -> DataFrame:
-    """Pack the vector table into one row per hash block: (sorted ids,
-    contiguous matrix bytes). The distributed analog of the
-    reference's in-RAM `data_` matrix (include/index/index.h:57-60) —
-    sharded, not replicated.
+    """Pack the vector table into per-hash-block rows: (sorted ids,
+    contiguous matrix bytes), split into ``c``-ordered chunk rows of at
+    most ``row_bytes`` matrix bytes each (see PACK_ROW_BYTES — chunks
+    are contiguous slices of the block's sorted id range, so c-order
+    concatenation reconstructs the sorted block exactly). The
+    distributed analog of the reference's in-RAM `data_` matrix
+    (include/index/index.h:57-60) — sharded, not replicated.
 
     ``payload="fp16"`` halves every downstream matrix byte-edge (the
     block shuffle, the r-fold replicated hi cells, the gathered u_mat
@@ -224,18 +261,25 @@ def build_emb_blocks(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
-            return _empty({"g": "int32", "ids": "object", "mat": "object",
-                           "dim": "int32"})
+            return _empty({"g": "int32", "c": "int32", "ids": "object",
+                           "mat": "object", "dim": "int32"})
         ids = pdf["vec_id"].to_numpy(np.int64)
         X = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
         if dt is not np.float32:
             X = X.astype(dt)
         o = np.argsort(ids, kind="stable")
         ids, X = ids[o], np.ascontiguousarray(X[o])
-        return pd.DataFrame(
-            {"g": [int(pdf["g"].iloc[0])], "ids": [ids],
-             "mat": [X.tobytes()], "dim": [int(X.shape[1])]}
-        )
+        g = int(pdf["g"].iloc[0])
+        dim = int(X.shape[1])
+        m = max(1, row_bytes // (dim * X.itemsize))
+        rows = {"g": [], "c": [], "ids": [], "mat": [], "dim": []}
+        for c, a in enumerate(range(0, ids.size, m)):
+            rows["g"].append(g)
+            rows["c"].append(c)
+            rows["ids"].append(ids[a:a + m])
+            rows["mat"].append(np.ascontiguousarray(X[a:a + m]).tobytes())
+            rows["dim"].append(dim)
+        return pd.DataFrame(rows)
 
     return (
         emb.select(
@@ -318,12 +362,13 @@ def replicate_emb_cells(emb_hi: DataFrame, r: int) -> DataFrame:
     if r == 1:
         return emb_hi
     return emb_hi.select(
-        "g", "ids", "mat", "dim",
+        "g", "c", "ids", "mat", "dim",
         F.explode(F.array(*[F.lit(i) for i in range(r)])).alias("stripe"),
     ).select(
         (F.col("g").cast("long") * r + F.col("stripe"))
         .cast("int")
         .alias("g"),
+        "c",
         "ids",
         "mat",
         "dim",
@@ -535,13 +580,17 @@ def _pairgen_packed_kernel(s: int, seed: int, g_blocks: int, excl_bc):
     return fn
 
 
-def _gather1_kernel(gh: int, r: int = 1):
+def _gather1_kernel(gh: int, r: int = 1, row_bytes: int = PACK_ROW_BYTES):
     """Stage 2b: cogroup pairs with their lo-side embedding block; emit
-    one packed row per destination grid cell g2 = blk(hi, gh) * r +
+    packed rows per destination grid cell g2 = blk(hi, gh) * r +
     blk(lo, r) carrying the pair keys and the gathered UNIQUE lo
     vectors. The stripe term blk(lo, r) is a function of lo, so each lo
     vector still ships to at most gh distinct cells — r adds scoring
-    parallelism without adding duplication (see grid_dims)."""
+    parallelism without adding duplication (see grid_dims). A cell
+    whose gathered u_mat would exceed ``row_bytes`` is emitted as
+    several self-contained rows (pairs split at unique-lo boundaries,
+    in lo order) — _score_cells scores rows independently and the
+    gather-2 tail totally re-orders, so the split is semantics-free."""
 
     def fn(pairs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame) -> pd.DataFrame:
         if pairs_pdf.empty or emb_pdf.empty:
@@ -560,9 +609,8 @@ def _gather1_kernel(gh: int, r: int = 1):
                 t_tau = _cat(tau_pdf, "t_tau", np.float64)
                 to = np.argsort(t_ids, kind="stable")
                 t_ids, t_tau = t_ids[to], t_tau[to]
-        ids = np.asarray(emb_pdf["ids"].iloc[0], np.int64)
-        dim = int(emb_pdf["dim"].iloc[0])
-        X = _mat_decode(emb_pdf["mat"].iloc[0], ids.size, dim)
+        ids, X, dim = _emb_concat(emb_pdf)
+        mu = max(1, row_bytes // (dim * X.itemsize))
 
         # cross-merge-block duplicates of the same canonical pair land in
         # the same g (keyed by lo) — collapse them before shipping vectors
@@ -580,15 +628,24 @@ def _gather1_kernel(gh: int, r: int = 1):
         for i in range(starts.size):  # <= G cells, not per-pair
             a, b = bounds[i], bounds[i + 1]
             u = np.unique(lo[a:b])
-            U = np.ascontiguousarray(X[np.searchsorted(ids, u)])
-            rows["g2"].append(int(g2[a]))
-            rows["pk"].append(pk[a:b].tobytes())
-            rows["u_ids"].append(u.tobytes())
-            rows["u_mat"].append(U.tobytes())
-            rows["dim"].append(dim)
-            rows["u_tau"].append(_tau_lookup(t_ids, t_tau, u).tobytes())
-            rows["t_ids"].append(None)
-            rows["t_tau"].append(None)
+            # pk within the cell is (lo, hi)-byte-sorted, i.e. grouped
+            # by lo — split oversize cells at unique-lo boundaries so no
+            # row's u_mat exceeds row_bytes (self-contained sub-cells)
+            for ua in range(0, u.size, mu):
+                uc = u[ua:ua + mu]
+                pa = a + np.searchsorted(lo[a:b], uc[0])
+                pb = a + np.searchsorted(lo[a:b], uc[-1], side="right")
+                U = np.ascontiguousarray(X[np.searchsorted(ids, uc)])
+                rows["g2"].append(int(g2[a]))
+                rows["pk"].append(pk[pa:pb].tobytes())
+                rows["u_ids"].append(uc.tobytes())
+                rows["u_mat"].append(U.tobytes())
+                rows["dim"].append(dim)
+                rows["u_tau"].append(
+                    _tau_lookup(t_ids, t_tau, uc).tobytes()
+                )
+                rows["t_ids"].append(None)
+                rows["t_tau"].append(None)
         return pd.DataFrame(rows)
 
     return fn
@@ -600,9 +657,7 @@ def _score_cells(packs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame):
     Returns (lo, hi, dist, tau_lo) concatenated over cells, or None;
     tau_lo is the lo-side insertion threshold shipped with the pack
     (+inf when the producing gather-1 had no tau rows)."""
-    ids2 = np.asarray(emb_pdf["ids"].iloc[0], np.int64)
-    dim = int(emb_pdf["dim"].iloc[0])
-    X2 = _mat_decode(emb_pdf["mat"].iloc[0], ids2.size, dim)
+    ids2, X2, dim = _emb_concat(emb_pdf)
     los, his, dists, taus = [], [], [], []
     for row in packs_pdf.itertuples(index=False):  # <= G cells
         lo, hi = _unpack2(np.frombuffer(row.pk, "V16"))
@@ -723,6 +778,7 @@ def score_pairs_blocked(
     emb_cells: DataFrame | None = None,
     gh: int | None = None,
     r: int = 1,
+    row_bytes: int = PACK_ROW_BYTES,
 ) -> DataFrame:
     """Exact squared-L2 for directed (a, b) pairs via the two-stage
     cogroup gather — no broadcast, no embedding join. Distances are
@@ -763,7 +819,7 @@ def score_pairs_blocked(
     packs = (
         keyed.groupBy("g")
         .cogroup(emb_blocks.groupBy("g"))
-        .applyInPandas(_gather1_kernel(gh, r), PACK_P_SCHEMA)
+        .applyInPandas(_gather1_kernel(gh, r, row_bytes), PACK_P_SCHEMA)
     )
     return (
         packs.groupBy("g2")
@@ -786,6 +842,7 @@ def nn_descent_blocked(
     n_blocks: int | None = None,
     g_blocks: int | None = None,
     block_bytes: int = EMB_BLOCK_BYTES,
+    row_bytes: int = PACK_ROW_BYTES,
     final_k: int | None = None,
     grid: tuple[int, int] | None = None,
     tau_filter: bool = True,
@@ -826,14 +883,16 @@ def nn_descent_blocked(
     # fresh pair/pack sides shuffle per round now.
     p_static = int(spark.conf.get("spark.sql.shuffle.partitions"))
     emb_blocks = (
-        build_emb_blocks(emb, G, payload).repartition(p_static, "g").persist()
+        build_emb_blocks(emb, G, payload, row_bytes)
+        .repartition(p_static, "g")
+        .persist()
     )
     emb_blocks.count()
     if (gh, r) == (G, 1):
         emb_cells = emb_blocks
     else:
         emb_cells = (
-            replicate_emb_cells(build_emb_blocks(emb, gh, payload), r)
+            replicate_emb_cells(build_emb_blocks(emb, gh, payload, row_bytes), r)
             .repartition(p_static, "g")
             .persist()
         )
@@ -850,6 +909,7 @@ def nn_descent_blocked(
         emb_cells=emb_cells,
         gh=gh,
         r=r,
+        row_bytes=row_bytes,
     )
     pool_rows = scored.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "dist",
@@ -891,7 +951,7 @@ def nn_descent_blocked(
         packs = (
             pairs_in.groupBy("g")
             .cogroup(emb_blocks.groupBy("g"))
-            .applyInPandas(_gather1_kernel(gh, r), PACK_P_SCHEMA)
+            .applyInPandas(_gather1_kernel(gh, r, row_bytes), PACK_P_SCHEMA)
         )
         if engage_tau:
             tau_hi = pool_p.mapInPandas(

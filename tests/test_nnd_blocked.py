@@ -114,6 +114,80 @@ class TestEmbBlocks:
             assert list(c["ids"]) == list(src["ids"])
 
 
+class TestChunkedRows:
+    """PACK_ROW_BYTES bounds every packed matrix ROW (distinct from
+    EMB_BLOCK_BYTES, which sizes logical blocks): an unbounded row OOMs
+    the cache-read -> sort -> cogroup path at high dim (measured: 500k x
+    960-d, 128 MB single-row cells, 48 GB heap — see BENCH.md). Results
+    must be bit-identical at any chunk size."""
+
+    def test_chunked_block_roundtrip(self, spark, emb):
+        import pandas as pd
+
+        from kgraph_framework_spark.operators.nnd_blocked import _emb_concat
+
+        whole = build_emb_blocks(emb, 2).collect()
+        tiny = build_emb_blocks(emb, 2, row_bytes=1024).collect()
+        assert max(len(r["mat"]) for r in tiny) <= 1024
+        assert len(tiny) > len(whole)
+        for g in {r["g"] for r in whole}:
+            w = next(r for r in whole if r["g"] == g)
+            rows = [r for r in tiny if r["g"] == g]
+            pdf = pd.DataFrame(
+                {
+                    "c": [r["c"] for r in rows],
+                    "ids": [list(r["ids"]) for r in rows],
+                    "mat": [r["mat"] for r in rows],
+                    "dim": [r["dim"] for r in rows],
+                }
+            ).sample(frac=1.0, random_state=0)  # arrival order is free
+            ids, X, dim = _emb_concat(pdf)
+            assert np.array_equal(ids, np.asarray(w["ids"], np.int64))
+            assert X.tobytes() == w["mat"]
+            assert dim == w["dim"]
+
+    def test_chunked_scoring_identical(self, spark, emb):
+        """Tiny row caps on BOTH the emb blocks and the gather-1 pack
+        output produce bit-identical distances to the one-row layout."""
+        ids = [r["vec_id"] for r in emb.select("vec_id").limit(14).collect()]
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a in ids[:7] for b in ids[7:]],
+            "a long, b long",
+        )
+        blocks = build_emb_blocks(emb, 3).persist()
+        tiny = build_emb_blocks(emb, 3, row_bytes=1024).persist()
+        want = {
+            (r["a"], r["b"]): r["dist"]
+            for r in score_pairs_blocked(pairs, blocks, 3).collect()
+        }
+        got = {
+            (r["a"], r["b"]): r["dist"]
+            for r in score_pairs_blocked(
+                pairs, tiny, 3, row_bytes=512
+            ).collect()
+        }
+        blocks.unpersist()
+        tiny.unpersist()
+        assert got == want
+
+    def test_descent_chunked_identical(self, spark, emb):
+        from kgraph_framework_spark.operators.nnd_blocked import (
+            nn_descent_blocked,
+        )
+
+        base, _ = nn_descent_blocked(
+            spark, emb, k=K, l=K, s=4, max_iters=2,
+            min_update_rate=0.0, seed=11, final_k=K,
+        )
+        chunked, _ = nn_descent_blocked(
+            spark, emb, k=K, l=K, s=4, max_iters=2,
+            min_update_rate=0.0, seed=11, final_k=K, row_bytes=2048,
+        )
+        assert sorted(map(tuple, base.collect())) == sorted(
+            map(tuple, chunked.collect())
+        )
+
+
 class TestAutoNBlocks:
     def test_grows_with_corpus_not_cores(self):
         """VERDICT r3 'what's wrong #2': block count must scale with
