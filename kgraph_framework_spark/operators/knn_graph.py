@@ -304,6 +304,15 @@ def nn_descent(
     distance rounding. Forces the blocked path so the knob is never
     silently ignored.
 
+    ``payload="int8"`` (blocked loop only) ships per-vector-scaled int8
+    codes — ~4x fewer bytes on the same edges (~0.4%-of-max rounding
+    during the descent) — and finishes with an EXACT fp32 re-rank of
+    each pool's top min(L, 2k) band, so the returned graph's distances
+    and ordering are exact fp32 arithmetic (the quantized-retrieve /
+    exact-rerank contract). Like fp16 this is a network lever for
+    byte-bound clusters: local wall is shuffle-page-cache-bound and
+    measured payload-insensitive (BENCH.md fp16 A/B).
+
     ``rev_push_gate`` (fused/blocked loops; default OFF) applies the
     reference's reverse-push gate — a reverse sample reaches the
     receiver's candidate lists only when its distance exceeds the
@@ -318,7 +327,7 @@ def nn_descent(
     or network-bound deployments. The join loop keeps ungated
     reference-paper semantics.
     """
-    if payload not in ("fp32", "fp16"):
+    if payload not in ("fp32", "fp16", "int8"):
         raise ValueError(f"unknown payload {payload!r}")
     if payload != "fp32":
         if mode in ("fused", "join"):

@@ -67,6 +67,15 @@ the fused path (nnd_fused._sample_np/_canonical_pairs/_merge_np/
 l2_gathered), and every kernel totally orders its group's entries
 before acting, so the blocked build is BIT-IDENTICAL to the fused build
 round for round (asserted in tests/test_nnd_blocked.py).
+
+Wire payloads (network levers for byte-bound clusters; local wall is
+page-cache-bound and measured payload-insensitive, BENCH.md): the
+packed matrix buffers ship as fp32 (default, bit-exact), fp16
+(2x fewer bytes, ~2^-11 rounding), or int8 + per-vector scales
+(~4x fewer bytes, ~0.4%-of-max rounding, finished by an exact fp32
+re-rank of the top band so the RETURNED graph is exact). The wire
+format is length-inferred per buffer (_wire_split) — no schema change,
+and the gather packs re-ship slices at the stored width.
 """
 
 from __future__ import annotations
@@ -228,14 +237,76 @@ def _emb_concat(emb_pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
     return np.concatenate(id_bufs), np.concatenate(mats), dim
 
 
+def _wire_split(buf, n_rows: int, dim: int):
+    """Split a packed matrix buffer into its wire parts WITHOUT decoding:
+    (kind, arr, scales) where kind is "f32"/"f16" (arr = float matrix,
+    scales None) or "q8" (arr = int8 code matrix, scales = per-row
+    float32 dequant factors appended after the codes). The layout is
+    inferred from the byte length — n*dim*4, n*dim*2, or n*(dim+4) —
+    which is unambiguous for dim > 4 (build_emb_blocks rejects int8 at
+    dim <= 4), so narrow payloads need no schema change."""
+    if n_rows == 0:
+        return "f32", np.empty((0, dim), np.float32), None
+    per_row = len(buf) // n_rows
+    if per_row == dim + 4 and per_row != dim * 2:
+        codes = np.frombuffer(buf, np.int8, n_rows * dim).reshape(-1, dim)
+        scales = np.frombuffer(buf, np.float32, n_rows, n_rows * dim)
+        return "q8", codes, scales
+    dt = np.float16 if per_row == dim * 2 else np.float32
+    return ("f16" if dt is np.float16 else "f32",
+            np.frombuffer(buf, dt).reshape(-1, dim), None)
+
+
+def _wire_dequant(kind: str, arr: np.ndarray, scales) -> np.ndarray:
+    """Materialize the float matrix for a wire triple (identity for
+    float payloads; codes * per-row scale for q8)."""
+    if kind != "q8":
+        return arr
+    return arr.astype(np.float32) * scales[:, None]
+
+
 def _mat_decode(buf, n_rows: int, dim: int) -> np.ndarray:
-    """Decode a packed matrix buffer. The element dtype (float32, or
-    float16 when the blocked loop runs with ``payload="fp16"``) is
-    inferred from the byte length, so narrow payloads need no schema
-    change and fp32/fp16 blocks can coexist in one plan."""
-    itemsize = len(buf) // max(n_rows * dim, 1)
-    dt = np.float16 if itemsize == 2 else np.float32
-    return np.frombuffer(buf, dt).reshape(-1, dim)
+    """Decode a packed matrix buffer to a float matrix. The wire format
+    (float32, float16 under ``payload="fp16"``, or int8+scales under
+    ``payload="int8"``) is inferred from the byte length (_wire_split),
+    so mixed-payload blocks can coexist in one plan."""
+    return _wire_dequant(*_wire_split(buf, n_rows, dim))
+
+
+def _emb_concat_wire(emb_pdf: pd.DataFrame):
+    """_emb_concat at the WIRE level: reassemble a logical embedding
+    block keeping its stored payload (no dequantization), so gather-1
+    can re-ship slices at wire width. Returns (ids, kind, arr, scales,
+    dim, wire_row_bytes): arr rows parallel ids; scales is None for
+    float payloads."""
+    dim = int(emb_pdf["dim"].iloc[0])
+    if len(emb_pdf) > 1:
+        emb_pdf = emb_pdf.sort_values("c")
+    id_bufs = [np.asarray(a, np.int64) for a in emb_pdf["ids"]]
+    parts = [_wire_split(b, a.size, dim)
+             for a, b in zip(id_bufs, emb_pdf["mat"])]
+    kind = parts[0][0]
+    arrs = [p[1] for p in parts]
+    scls = [p[2] for p in parts]
+    ids = id_bufs[0] if len(id_bufs) == 1 else np.concatenate(id_bufs)
+    arr = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
+    scales = None
+    if kind == "q8":
+        scales = scls[0] if len(scls) == 1 else np.concatenate(scls)
+        wire_row = dim + 4
+    else:
+        wire_row = dim * arr.itemsize
+    return ids, kind, arr, scales, dim, wire_row
+
+
+def _wire_pack_rows(kind: str, arr: np.ndarray, scales, rows) -> bytes:
+    """Serialize the selected rows of a wire matrix in the same
+    length-inferable layout _wire_split reads (codes then scales for
+    q8; raw float bytes otherwise)."""
+    sl = np.ascontiguousarray(arr[rows])
+    if kind != "q8":
+        return sl.tobytes()
+    return sl.tobytes() + np.ascontiguousarray(scales[rows]).tobytes()
 
 
 def build_emb_blocks(
@@ -256,8 +327,18 @@ def build_emb_blocks(
     block shuffle, the r-fold replicated hi cells, the gathered u_mat
     packs) by storing the fp32 vectors rounded to float16. Distances
     become approximate (relative error ~2^-11 per component) — the
-    movement-bound scale lever; default stays exact fp32."""
+    movement-bound scale lever; default stays exact fp32.
+
+    ``payload="int8"`` cuts the same edges ~4x: each vector is stored
+    as int8 codes with a per-vector float32 dequant scale (max|x|/127,
+    symmetric — the classic per-row affine-free quantization), decoded
+    only at the scoring sites. ~0.4%-of-max per-component rounding; the
+    descent loop pairs it with an exact fp32 re-rank of the final top-k
+    band (nn_descent_blocked) so the RETURNED graph distances are exact.
+    Requires dim > 4 (below that the length-inferred wire layout would
+    collide with fp16)."""
     dt = np.float16 if payload == "fp16" else np.float32
+    q8 = payload == "int8"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -271,13 +352,25 @@ def build_emb_blocks(
         ids, X = ids[o], np.ascontiguousarray(X[o])
         g = int(pdf["g"].iloc[0])
         dim = int(X.shape[1])
-        m = max(1, row_bytes // (dim * X.itemsize))
+        scales = None
+        if q8:
+            if dim <= 4:
+                raise ValueError("payload='int8' requires dim > 4")
+            scales = (np.maximum(np.abs(X).max(axis=1), 1e-30) / 127.0
+                      ).astype(np.float32)
+            X = np.clip(np.rint(X / scales[:, None]), -127, 127
+                        ).astype(np.int8)
+        per_row = dim + 4 if q8 else dim * X.itemsize
+        m = max(1, row_bytes // per_row)
         rows = {"g": [], "c": [], "ids": [], "mat": [], "dim": []}
         for c, a in enumerate(range(0, ids.size, m)):
             rows["g"].append(g)
             rows["c"].append(c)
             rows["ids"].append(ids[a:a + m])
-            rows["mat"].append(np.ascontiguousarray(X[a:a + m]).tobytes())
+            buf = np.ascontiguousarray(X[a:a + m]).tobytes()
+            if q8:
+                buf += np.ascontiguousarray(scales[a:a + m]).tobytes()
+            rows["mat"].append(buf)
             rows["dim"].append(dim)
         return pd.DataFrame(rows)
 
@@ -609,8 +702,8 @@ def _gather1_kernel(gh: int, r: int = 1, row_bytes: int = PACK_ROW_BYTES):
                 t_tau = _cat(tau_pdf, "t_tau", np.float64)
                 to = np.argsort(t_ids, kind="stable")
                 t_ids, t_tau = t_ids[to], t_tau[to]
-        ids, X, dim = _emb_concat(emb_pdf)
-        mu = max(1, row_bytes // (dim * X.itemsize))
+        ids, kind, X, scales, dim, wire_row = _emb_concat_wire(emb_pdf)
+        mu = max(1, row_bytes // wire_row)
 
         # cross-merge-block duplicates of the same canonical pair land in
         # the same g (keyed by lo) — collapse them before shipping vectors
@@ -635,11 +728,12 @@ def _gather1_kernel(gh: int, r: int = 1, row_bytes: int = PACK_ROW_BYTES):
                 uc = u[ua:ua + mu]
                 pa = a + np.searchsorted(lo[a:b], uc[0])
                 pb = a + np.searchsorted(lo[a:b], uc[-1], side="right")
-                U = np.ascontiguousarray(X[np.searchsorted(ids, uc)])
                 rows["g2"].append(int(g2[a]))
                 rows["pk"].append(pk[pa:pb].tobytes())
                 rows["u_ids"].append(uc.tobytes())
-                rows["u_mat"].append(U.tobytes())
+                rows["u_mat"].append(
+                    _wire_pack_rows(kind, X, scales, np.searchsorted(ids, uc))
+                )
                 rows["dim"].append(dim)
                 rows["u_tau"].append(
                     _tau_lookup(t_ids, t_tau, uc).tobytes()
@@ -1004,4 +1098,45 @@ def nn_descent_blocked(
     if emb_cells is not emb_blocks:
         emb_cells.unpersist()
     emb_blocks.unpersist()
+    if payload == "int8" and final_k is not None:
+        # exact re-rank of the top band: the loop ran on quantized wire
+        # vectors (~0.4%-of-max rounding), so re-score the top
+        # min(L, 2k) band of each pool against a temporary fp32 packing
+        # and cut the FINAL top-k on exact distances — the returned
+        # graph's (ordering, dist) are bit-exact fp32 arithmetic, the
+        # standard quantized-retrieve / exact-rerank contract. One extra
+        # scoring pass (~N*band pairs ≈ the init scoring), no residency
+        # requirement (same cogroup gather).
+        from kgraph_framework_spark.operators.nnd_fused import topk_per_src
+
+        t_rr = time.monotonic()
+        band = min(l, 2 * final_k)
+        exact_blocks = (
+            build_emb_blocks(emb, G, "fp32", row_bytes)
+            .repartition(p_static, "g")
+            .persist()
+        )
+        exact = score_pairs_blocked(
+            unpack_pool_topk(pool_p, band).select(
+                F.col("src").alias("a"), F.col("dst").alias("b")
+            ),
+            exact_blocks,
+            G,
+            row_bytes=row_bytes,
+        )
+        graph = truncate_state(spark, topk_per_src(
+            exact.select(
+                F.col("a").alias("src"), F.col("b").alias("dst"), "dist"
+            ),
+            final_k,
+            B,
+        ))
+        graph.count()
+        exact_blocks.unpersist()
+        release_state(pool_p)  # graph no longer references the pool
+        metrics.append({
+            "stage": "rerank", "band": band,
+            "wall_sec": round(time.monotonic() - t_rr, 2),
+        })
+        return graph, metrics
     return unpack_pool_topk(pool_p, final_k), metrics

@@ -156,6 +156,63 @@ def nndescent_blocked_gate(
     )
 
 
+def nndescent_int8_gate(
+    spark: SparkSession, emb: DataFrame, k: int = 10, max_iters: int = 4
+) -> DataFrame:
+    """Quantized-wire lifecycle gate: the blocked descent with
+    ``payload="int8"`` (per-vector-scaled codes, ~4x fewer matrix bytes
+    on the gather edges) finished by the exact fp32 re-rank of the top
+    band. Gates BOTH halves of that contract in one row: the recall
+    floor (quantized search must not dent recall on the fixture) AND
+    distance exactness — every returned edge that appears in the
+    brute-force truth must carry the identical fp64-arithmetic distance
+    (the re-rank's whole point), checked at 1e-9. recall_ok = 1 only if
+    both hold."""
+    from kgraph_framework_spark.operators.knn_graph import (
+        knn_bruteforce_l2,
+        nn_descent,
+    )
+
+    graph, _metrics = nn_descent(
+        spark, emb, k=k, max_iters=max_iters, mode="blocked", payload="int8"
+    )
+    truth = knn_bruteforce_l2(emb, k=k)
+    joined = graph.select("src", "dst", "dist").join(
+        truth.select("src", "dst", F.col("dist").alias("ref")),
+        ["src", "dst"],
+        "left",
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("ref").isNotNull(), 1).otherwise(0)).alias("n_hit"),
+        F.sum(
+            F.when(
+                F.col("ref").isNotNull()
+                & (F.abs(F.col("dist") - F.col("ref")) > 1e-9),
+                1,
+            ).otherwise(0)
+        ).alias("n_dist_bad"),
+    )
+    t = truth.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.countDistinct("src").alias("n_queries"),
+    )
+    return agg.crossJoin(t).select(
+        F.lit("int8+rerank+nndescent").alias("algo"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(NNDESCENT_FLOOR_PPM).cast("long").alias("floor_ppm"),
+        (
+            (
+                F.col("n_hit") * F.lit(1_000_000)
+                >= F.col("n_truth") * F.lit(NNDESCENT_FLOOR_PPM)
+            )
+            & (F.col("n_dist_bad") == 0)
+        )
+        .cast("long")
+        .alias("recall_ok"),
+    )
+
+
 def embcos_lsh_gate(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """Gate for the sub-quadratic embedding near-dup path: recall of the
     sign-band LSH pairs against the exact O(N^2) pair set on the planted
@@ -285,6 +342,15 @@ FROM embeddings"""
 
 def nndescent_blocked_gate_sql(k: int = 10) -> str:
     return f"""SELECT 'blocked+nndescent' AS algo,
+  CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST({k} AS BIGINT) AS k,
+  CAST({NNDESCENT_FLOOR_PPM} AS BIGINT) AS floor_ppm,
+  CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings"""
+
+
+def nndescent_int8_gate_sql(k: int = 10) -> str:
+    return f"""SELECT 'int8+rerank+nndescent' AS algo,
   CAST(COUNT(*) AS BIGINT) AS n_queries,
   CAST({k} AS BIGINT) AS k,
   CAST({NNDESCENT_FLOOR_PPM} AS BIGINT) AS floor_ppm,

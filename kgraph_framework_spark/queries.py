@@ -168,6 +168,16 @@ def q_knn_graph_blocked(spark, sf_dir):
     return nndescent_blocked_gate(spark, emb, k=10, max_iters=4)
 
 
+def q_knn_graph_int8(spark, sf_dir):
+    """Quantized-wire descent gate: blocked loop on int8+per-vector-scale
+    payload (~4x fewer gather bytes) finished by the exact fp32 re-rank —
+    gates the recall floor AND the exact-distance contract in one row."""
+    from kgraph_framework_spark.quality import nndescent_int8_gate
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return nndescent_int8_gate(spark, emb, k=10, max_iters=4)
+
+
 def q_knn_graph_kdtree(spark, sf_dir):
     """KD-forest initializer lifecycle gate (reference kdtree driver)."""
     from kgraph_framework_spark.quality import kdtree_gate
@@ -329,6 +339,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "knn_graph_nnd_blocked": (
         q_knn_graph_blocked,
         _quality.nndescent_blocked_gate_sql(),
+    ),
+    # int8 wire payload + exact fp32 re-rank: recall floor AND
+    # exact-distance contract gated in one row
+    "knn_graph_nnd_int8": (
+        q_knn_graph_int8,
+        _quality.nndescent_int8_gate_sql(),
     ),
     # KD-forest init -> NN-descent: the reference kdtree driver (E2)
     "knn_graph_kdtree": (q_knn_graph_kdtree, _quality.kdtree_gate_sql()),

@@ -420,7 +420,102 @@ class TestFp16Payload:
         with pytest.raises(ValueError):
             nn_descent(spark, emb, k=K, mode="join", payload="fp16")
         with pytest.raises(ValueError):
-            nn_descent(spark, emb, k=K, payload="int8")
+            nn_descent(spark, emb, k=K, mode="fused", payload="int8")
+        with pytest.raises(ValueError):
+            nn_descent(spark, emb, k=K, payload="int4")
+
+
+class TestInt8Payload:
+    """payload="int8" ships per-vector-scaled int8 codes (~4x fewer
+    matrix bytes on the block shuffle, replicated cells and gather
+    packs) and finishes with an exact fp32 re-rank of the top band, so
+    the returned graph's distances are exact despite the quantized
+    descent."""
+
+    def test_int8_blocks_quarter_bytes_and_decode(self, spark, emb):
+        from kgraph_framework_spark.operators.nnd_blocked import _mat_decode
+
+        f32 = build_emb_blocks(emb, 3).collect()
+        q8 = build_emb_blocks(emb, 3, payload="int8").collect()
+        by_g32 = {r["g"]: r for r in f32}
+        assert len(q8) == len(f32)
+        for r in q8:
+            r32 = by_g32[r["g"]]
+            assert r["ids"] == r32["ids"]
+            n, dim = len(r["ids"]), r["dim"]
+            # codes (n*dim bytes) + per-row fp32 scales (4n bytes)
+            assert len(r["mat"]) == n * (dim + 4)
+            Xq = _mat_decode(r["mat"], n, dim)
+            X32 = _mat_decode(r32["mat"], n, dim)
+            assert Xq.dtype == np.float32
+            # symmetric per-row quantization: |err| <= scale/2 = max|x|/254
+            tol = np.abs(X32).max(axis=1, keepdims=True) / 254.0 + 1e-12
+            assert np.all(np.abs(Xq - X32) <= tol)
+
+    def test_int8_scoring_close(self, spark, emb):
+        """Quantized-payload distances track exact fp32 within the
+        per-component rounding envelope; same pair set either way."""
+        ids = [r["vec_id"] for r in emb.select("vec_id").limit(12).collect()]
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a in ids[:6] for b in ids[6:]],
+            "a long, b long",
+        )
+        b32 = build_emb_blocks(emb, 3).persist()
+        bq = build_emb_blocks(emb, 3, payload="int8").persist()
+        got32 = {
+            (r["a"], r["b"]): r["dist"]
+            for r in score_pairs_blocked(pairs, b32, 3).collect()
+        }
+        gotq = {
+            (r["a"], r["b"]): r["dist"]
+            for r in score_pairs_blocked(pairs, bq, 3).collect()
+        }
+        b32.unpersist()
+        bq.unpersist()
+        assert set(gotq) == set(got32)
+        d32 = np.array([got32[k_] for k_ in sorted(got32)])
+        dq = np.array([gotq[k_] for k_ in sorted(got32)])
+        assert np.allclose(dq, d32, rtol=5e-2, atol=1e-3)
+        assert not np.array_equal(dq, d32)  # quantization actually happened
+
+    def test_int8_recall_floor_and_exact_final_dists(self, spark, emb):
+        """End-to-end: recall holds the same floor as the exact build,
+        AND the returned distances are bit-exact fp32 arithmetic (the
+        re-rank pass), verified against the brute-force scorer."""
+        truth = knn_bruteforce_l2(emb, k=K).persist()
+        g, m = nn_descent(spark, emb, k=K, max_iters=6, payload="int8")
+        g = g.persist()
+        r = graph_recall(g.select("src", "dst"), truth)
+        assert r >= 0.9, f"int8 recall {r:.3f}"
+        assert any(e.get("stage") == "rerank" for e in m)
+        # exact-distance contract: every returned edge's dist equals the
+        # brute-force (fp32-storage, fp64-arithmetic) distance
+        from kgraph_framework_spark.operators.knn_graph import _score_pairs
+
+        exact = _score_pairs(
+            g.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            emb, None,
+        )
+        joined = g.join(
+            exact.select(
+                F.col("a").alias("src"), F.col("b").alias("dst"),
+                F.col("dist").alias("ref"),
+            ),
+            ["src", "dst"],
+        )
+        bad = joined.where(F.abs(F.col("dist") - F.col("ref")) > 1e-9).count()
+        n_edges = g.count()
+        g.unpersist()
+        truth.unpersist()
+        assert bad == 0 and n_edges > 0
+
+    def test_int8_rejects_tiny_dim(self, spark):
+        four_d = spark.createDataFrame(
+            [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(8)],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(Exception, match="dim > 4"):
+            build_emb_blocks(four_d, 2, payload="int8").collect()
 
 
 class TestStaticSideExchangeReuse:

@@ -183,7 +183,7 @@ def main() -> None:
         "cogroup-gather path at any corpus size (the 100-TB shape)",
     )
     ap.add_argument(
-        "--payload", choices=("fp32", "fp16"), default="fp32",
+        "--payload", choices=("fp32", "fp16", "int8"), default="fp32",
         help="matrix byte-edge precision for the blocked loop: fp16 "
         "halves the gather/replica shuffle bytes (~2^-11 distance "
         "rounding; forces mode=blocked)",
