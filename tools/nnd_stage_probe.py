@@ -9,7 +9,10 @@ per-round wall can be attributed to concrete dataflow edges (sample ->
 pairgen -> gather-1 -> gather-2 -> merge).
 
 Usage: python tools/nnd_stage_probe.py [n_vecs] [dim] [rounds] [cores] [tau]
-(tau: 1=emit-site threshold filter on [default], 0=off — for the A/B.)
+                                       [payload]
+(tau: 1=emit-site threshold filter on [default], 0=off — for the A/B.
+payload: fp32 [default] / fp16 / int8 — for the wire-payload byte A/B;
+shuffle bytes are deterministic, so one run per payload decides it.)
 Prints a per-stage table (desc by executorRunTime) plus one JSON line.
 """
 
@@ -40,6 +43,7 @@ def main() -> None:
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     cores = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     tau = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
+    payload = sys.argv[6] if len(sys.argv) > 6 else "fp32"
 
     from kgraph_framework_spark.operators.nnd_blocked import (
         nn_descent_blocked,
@@ -57,7 +61,7 @@ def main() -> None:
     t0 = time.monotonic()
     pool, metrics = nn_descent_blocked(
         spark, emb, k=50, l=70, s=10, max_iters=rounds,
-        min_update_rate=0.0, seed=42, tau_filter=tau,
+        min_update_rate=0.0, seed=42, tau_filter=tau, payload=payload,
     )
     n_edges = pool.count()
     wall = time.monotonic() - t0
@@ -111,6 +115,7 @@ def main() -> None:
                 "dim": dim,
                 "rounds": rounds,
                 "tau_filter": tau,
+                "payload": payload,
                 "wall_sec": round(wall, 1),
                 "round_walls": [m["wall_sec"] for m in metrics],
                 "n_edges": n_edges,
