@@ -161,8 +161,12 @@ SCORE_BROADCAST_BYTES = 512 << 20
 #: loop wins 2.2x — every Python worker holds (and first unpickles) its
 #: own copy of the broadcast, so the per-round cost grows with matrix
 #: size while the blocked path ships each touched vector once per cell.
-#: Geometric midpoint of the bracketing points ~25.6 MB.
-AUTO_FUSED_MAX_BYTES = 32 << 20
+#: A later 2x2 interleaved A/B at the first midpoint (50k x 128-d,
+#: 25.6 MB) measured blocked ahead on both pairs (39.0/45.3 s vs
+#: 49.3/76.8 s, 3 fixed rounds), tightening the bracket to
+#: [12.8, 25.6] MB; the cap sits at its geometric midpoint ~18 MB,
+#: rounded to 16 MB.
+AUTO_FUSED_MAX_BYTES = 16 << 20
 #: ...and below this vector count the join path wins instead: the
 #: saved embedding shuffle is tiny while the extra mapInPandas stage
 #: per scoring call costs a fixed ~0.5-1 s (measured at 2k vecs:
@@ -291,7 +295,7 @@ def nn_descent(
 
     ``mode``: "auto" runs the FUSED superstep loop (operators/nnd_fused —
     3 grouped Arrow kernels per round) while the corpus matrix is under
-    the measured fused/blocked crossover (AUTO_FUSED_MAX_BYTES, ~32 MB),
+    the measured fused/blocked crossover (AUTO_FUSED_MAX_BYTES, ~16 MB),
     else the BLOCKED loop (operators/nnd_blocked — same kernels, matrix
     sharded into cogrouped blocks, no broadcast: the 100-TB shape, and
     the faster one on big corpora); "blocked" forces the blocked loop
@@ -343,7 +347,7 @@ def nn_descent(
     if mode == "fused":
         bc = broadcast_matrix(emb, min_vecs=1)
     elif mode == "auto":
-        # measured crossover, not the broadcast CAP: past ~32 MB the
+        # measured crossover, not the broadcast CAP: past ~16 MB the
         # blocked loop beats the fused one even though the matrix
         # would still broadcast (see AUTO_FUSED_MAX_BYTES)
         bc = broadcast_matrix(

@@ -259,10 +259,14 @@ def _wire_split(buf, n_rows: int, dim: int):
 
 def _wire_dequant(kind: str, arr: np.ndarray, scales) -> np.ndarray:
     """Materialize the float matrix for a wire triple (identity for
-    float payloads; codes * per-row scale for q8)."""
+    float payloads; codes * per-row scale for q8). One allocation, not
+    two: the astype buffer is scaled in place — fresh big buffers are
+    the expensive resource on page-fault-bound hosts (see l2_gathered)."""
     if kind != "q8":
         return arr
-    return arr.astype(np.float32) * scales[:, None]
+    out = arr.astype(np.float32)
+    out *= scales[:, None]
+    return out
 
 
 def _mat_decode(buf, n_rows: int, dim: int) -> np.ndarray:
