@@ -129,10 +129,19 @@ POOL_ROWS_PER_BLOCK = 2_000_000
 
 
 def auto_n_blocks(default_parallelism: int, n_vecs: int, l: int) -> int:
-    """Block count for the fused kernels: enough blocks that each holds
-    ~POOL_ROWS_PER_BLOCK pool rows, never fewer than the core count."""
+    """Block count for the fused/blocked kernels: enough blocks that
+    each holds ~POOL_ROWS_PER_BLOCK pool rows, never fewer than 4x the
+    core count. The 4x floor is a hash-collision fix, not extra
+    parallelism per se: B distinct blk keys hash into the shuffle's P
+    partitions, and with B ~ P a large fraction of partitions receive
+    zero keys (E[non-empty] = P(1-(1-1/P)^B) — e.g. 32 keys into 64
+    partitions leave ~25 busy tasks on 32 cores, measured as a
+    21-task merge stage). At 4x the keys the reduce side fills and the
+    per-key load evens out. Measured (BENCH.md n_blocks A/B, 500k x
+    128-d, both interleaved pairs): rounds-wall 162/209 + 150/241 s at
+    B=32 vs 136/155 + 95/99 s at B=128 — up to 1.6x."""
     need = -(-(n_vecs * l) // POOL_ROWS_PER_BLOCK)  # ceil div
-    return int(max(default_parallelism, need))
+    return int(max(4 * default_parallelism, need))
 
 
 def _hash_np(first, *rest):
