@@ -34,6 +34,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # same-instant host reading (this box's deliverable throughput swings
+    # up to ~2.3x on identical code — BENCH.md "host calibration" section
+    # states the normalization rule for cross-round wall comparisons);
+    # runs BEFORE the JVM starts so the probes see the idle host
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from host_calibration import calibrate
+
+    host_calibration = calibrate()
+
     spark = get_spark("kgraph-bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -158,6 +167,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "cpus": cpus,
+        "host_calibration": host_calibration,
         **extra,
     }))
     spark.stop()

@@ -270,6 +270,10 @@ def nn_descent(
     mode: str = "auto",
     payload: str = "fp32",
     rev_push_gate: bool = False,
+    min_recall: float | None = None,
+    control: DataFrame | None = None,
+    n_control: int = 200,
+    block_bytes: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Refine an initial candidate graph into a kNN graph.
 
@@ -330,6 +334,28 @@ def nn_descent(
     payload="fp16". Default off; flip on for strict reference parity
     or network-bound deployments. The join loop keeps ungated
     reference-paper semantics.
+
+    ``min_recall`` enables the reference's OWN convergence criterion
+    (src/index_graph.cpp:172-179): each round, the sampled recall of
+    the pool vs exact control truth is evaluated, and the loop stops
+    once it reaches the threshold (the reference uses 0.99) — so
+    like-for-like runs can terminate exactly like the reference
+    instead of on a fixed round count. ``control`` supplies the
+    precomputed truth (src, dst) — compute it with
+    :func:`control_truth` BEFORE any build timer, as the reference
+    loads its ground-truth file outside the timed build; left None,
+    nn_descent computes it here (one N x n_control broadcast scan).
+    Per-round metrics gain ``recall`` and ``recall_eval_sec`` rows
+    (eval time kept separate, like the reference's per-iter walls).
+    The update-rate stop remains active; pass ``min_update_rate=0``
+    for pure reference semantics.
+
+    ``block_bytes`` (blocked loop only; default
+    nnd_blocked.EMB_BLOCK_BYTES) sets the embedding-block size — the
+    per-task memory vs gather-duplication knob. High-dim corpora trade
+    here: per-round gather bytes ~ (corpus_bytes / block_bytes) x
+    corpus, so larger blocks cut single-box scratch-disk quadratically
+    at higher per-task working memory (BENCH.md high-dim section).
     """
     if payload not in ("fp32", "fp16", "int8"):
         raise ValueError(f"unknown payload {payload!r}")
@@ -342,6 +368,19 @@ def nn_descent(
     if s is None:
         s = max(3, (3 * k) // 2)
     emb = emb.select("vec_id", "embedding").persist()
+    control_pdf = None
+    control_df = None
+    control_total = 0
+    if min_recall is not None:
+        truth = control if control is not None else control_truth(
+            spark, emb, k, n_control
+        )
+        control_pdf = truth.select("src", "dst").toPandas()
+        control_total = len(control_pdf)
+        if control_total:
+            control_df = spark.createDataFrame(
+                control_pdf, "src long, dst long"
+            )
     n_edges_target = None
     bc = None
     if mode == "fused":
@@ -369,6 +408,8 @@ def nn_descent(
                 spark, emb, bc, k=k, l=l, s=s, max_iters=max_iters,
                 min_update_rate=min_update_rate, seed=seed, init=init,
                 exclude_pairs=exclude_pairs, rev_push_gate=rev_push_gate,
+                min_recall=min_recall, control_df=control_df,
+                control_total=control_total,
             )
         else:
             # beyond the broadcast cap (or forced): same kernels, matrix
@@ -377,15 +418,31 @@ def nn_descent(
                 nn_descent_blocked,
             )
 
+            control_bc = None
+            if control_pdf is not None and len(control_pdf):
+                from kgraph_framework_spark.operators.nnd_fused import _pack2
+
+                s_arr = control_pdf["src"].to_numpy(np.int64)
+                d_arr = control_pdf["dst"].to_numpy(np.int64)
+                control_bc = spark.sparkContext.broadcast(
+                    (np.unique(s_arr), np.sort(_pack2(s_arr, d_arr)))
+                )
             # final_k: the packed merge already leaves each block's pool
             # per-src sorted and deduped, so the blocked loop cuts top-k
             # in place while unpacking — no extra topk shuffle
+            bb = {}
+            if block_bytes is not None:
+                bb["block_bytes"] = block_bytes
             graph, metrics = nn_descent_blocked(
                 spark, emb, k=k, l=l, s=s, max_iters=max_iters,
                 min_update_rate=min_update_rate, seed=seed, init=init,
                 exclude_pairs=exclude_pairs, final_k=k, payload=payload,
                 rev_push_gate=rev_push_gate,
+                min_recall=min_recall, control_bc=control_bc,
+                control_total=control_total, **bb,
             )
+            if control_bc is not None:
+                control_bc.unpersist()
             emb.unpersist()
             return graph, metrics
         B = auto_n_blocks(
@@ -512,11 +569,22 @@ def nn_descent(
         if n_edges_target is None:
             n_edges_target = new_pool.count()
         rate = updates / max(n_edges_target, 1)
-        metrics.append({"superstep": it, "new_entries": int(updates),
-                        "update_rate": rate,
-                        "wall_sec": round(time.monotonic() - t_round, 2)})
+        row_m = {"superstep": it, "new_entries": int(updates),
+                 "update_rate": rate,
+                 "wall_sec": round(time.monotonic() - t_round, 2)}
         pool = new_pool
-        if rate < min_update_rate:
+        recall_stop = False
+        if min_recall is not None and control_df is not None:
+            t_ev = time.monotonic()
+            hits = pool.join(
+                F.broadcast(control_df), ["src", "dst"], "left_semi"
+            ).count()
+            rec = hits / max(control_total, 1)
+            row_m["recall"] = round(rec, 4)
+            row_m["recall_eval_sec"] = round(time.monotonic() - t_ev, 2)
+            recall_stop = rec >= min_recall
+        metrics.append(row_m)
+        if recall_stop or rate < min_update_rate:
             break
 
     wk = Window.partitionBy("src").orderBy("dist", "dst")
@@ -529,6 +597,59 @@ def nn_descent(
         bc.unpersist()  # non-destructive: re-ships lazily if re-referenced
     emb.unpersist()
     return graph, metrics
+
+
+def control_truth(
+    spark: SparkSession, emb: DataFrame, k: int, n_control: int = 200
+) -> DataFrame:
+    """Exact top-k for ~``n_control`` stride-sampled control vertices.
+
+    The reference's recall-convergence protocol evaluates each descent
+    iteration against a PRECOMPUTED ground-truth set
+    (src/index_graph.cpp:139-190 loads `graph_truth` from disk;
+    generate_control_set :193-207 is the in-process variant) — truth
+    computation is outside its timed build. This computes the same
+    thing Spark-side in one broadcast scan: control vectors broadcast,
+    per-partition local top-k inside mapInPandas, global re-top-k (the
+    two-stage ranking pattern T1). Cost is N x n_control distance
+    evals — ~the init-scoring pass. Callers that time builds should
+    compute this BEFORE the timer (as the reference does) and pass it
+    via ``nn_descent(control=...)``.
+
+    Deterministic: control ids are every (n // n_control)-th vec_id.
+    """
+    n, _ = id_stats(emb)
+    stride = max(1, n // n_control)
+    qdf = emb.where(F.col("vec_id") % stride == 0).toPandas()
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    bq = spark.sparkContext.broadcast((qids, q))
+
+    def local_topk(it):
+        qids_, q_ = bq.value
+        qn = (q_ * q_).sum(1)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            d2 = qn[:, None] - 2.0 * (q_ @ x.T) + (x * x).sum(1)[None, :]
+            kk = min(k + 1, d2.shape[1])
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            yield pd.DataFrame({
+                "src": np.repeat(qids_, kk),
+                "dst": ids[part.ravel()],
+                "dist": np.take_along_axis(d2, part, 1).ravel(),
+            })
+
+    cand = emb.mapInPandas(local_topk, schema="src long, dst long, dist double")
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    return (
+        cand.where(F.col("src") != F.col("dst"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("src", "dst")
+    )
 
 
 def knn_bruteforce_l2(emb: DataFrame, k: int = 10) -> DataFrame:

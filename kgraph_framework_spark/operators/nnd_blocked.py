@@ -273,7 +273,10 @@ def _mat_decode(buf, n_rows: int, dim: int) -> np.ndarray:
     """Decode a packed matrix buffer to a float matrix. The wire format
     (float32, float16 under ``payload="fp16"``, or int8+scales under
     ``payload="int8"``) is inferred from the byte length (_wire_split),
-    so mixed-payload blocks can coexist in one plan."""
+    so mixed-payload blocks can coexist in one plan — ACROSS blocks;
+    within one logical block every chunk carries the block's single
+    payload kind (build_emb_blocks packs uniformly; _emb_concat_wire
+    asserts it)."""
     return _wire_dequant(*_wire_split(buf, n_rows, dim))
 
 
@@ -290,6 +293,13 @@ def _emb_concat_wire(emb_pdf: pd.DataFrame):
     parts = [_wire_split(b, a.size, dim)
              for a, b in zip(id_bufs, emb_pdf["mat"])]
     kind = parts[0][0]
+    # chunks of one logical block must share a payload kind: a silent
+    # f16+f32 np.concatenate would upcast and ship bytes inconsistent
+    # with the declared kind (len(parts) is small, the check is free)
+    assert all(p[0] == kind for p in parts), (
+        "mixed payload kinds within one logical block: "
+        f"{sorted({p[0] for p in parts})}"
+    )
     arrs = [p[1] for p in parts]
     scls = [p[2] for p in parts]
     ids = id_bufs[0] if len(id_bufs) == 1 else np.concatenate(id_bufs)
@@ -521,6 +531,44 @@ def unpack_pool_topk(pool_p: DataFrame, k: int | None) -> DataFrame:
     return pool_p.mapInPandas(fn, "src long, dst long, dist double")
 
 
+def packed_pool_recall(pool_p: DataFrame, control_bc, control_total: int) -> float:
+    """Sampled-recall convergence eval over the PACKED pool.
+
+    The reference's NNDescent stop criterion checks each control
+    point's truth neighbors for membership in the current POOL (size L,
+    not the top-k cut) and stops past a recall threshold
+    (src/index_graph.cpp:172-179 + eval_recall :209-229). This is the
+    same check against the packed pool rows: a narrow mapInPandas that
+    filters each block's src buffer to control ids and counts packed
+    (src, dst) membership in the broadcast truth set — no unpack
+    shuffle, one pass over cached packed rows.
+
+    ``control_bc`` broadcasts (sorted control ids, sorted _pack2(src,
+    dst) truth keys); ``control_total`` is the truth row count
+    (n_control x k), the reference's cnt * K denominator.
+    """
+    from kgraph_framework_spark.operators.nnd_fused import _member, _pack2
+
+    def fn(it):
+        ctrl_ids, packed = control_bc.value
+        hits = 0
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                s = np.frombuffer(row.src, np.int64)
+                if s.size == 0:
+                    continue
+                m = _member(ctrl_ids, s)
+                if not m.any():
+                    continue
+                d = np.frombuffer(row.dst, np.int64)
+                pk = _pack2(s[m], d[m])
+                hits += int(_member(packed, pk).sum())
+        yield pd.DataFrame({"hits": [hits]})
+
+    row = pool_p.mapInPandas(fn, "hits long").agg(F.sum("hits")).first()
+    return int(row[0] or 0) / max(control_total, 1)
+
+
 def _tau_packed_map(l: int, out_blocks: int, r: int = 1):
     """Per-vertex round-start insertion thresholds — the reference's
     threshold-vs-worst predicate F5 (src/index_graph.cpp:29-39) applied
@@ -565,13 +613,18 @@ def _tau_packed_map(l: int, out_blocks: int, r: int = 1):
     return it_fn
 
 
-def _sample_packed_kernel(s: int, n_blocks: int, gate_l: int | None = None):
+def _sample_packed_kernel(
+    s: int, n_blocks: int, gate_l: int | None = None,
+    rev_seed: int | None = None,
+):
     """Stage 1 (packed): top-of-pool S per (vertex, flag), fwd + rev,
     re-segmented into one packed row per destination block. With
     ``gate_l`` set, TAU_NBR sentinel rows carrying each saturated
     vertex's round-start pool worst ride the same segmentation to the
     pairgen block for the reverse-push gate (see
-    nnd_fused._split_tau_and_gate)."""
+    nnd_fused._split_tau_and_gate). ``rev_seed`` (the round's pairgen
+    reservoir seed) engages the exact sender-side reverse pre-cut
+    (nnd_fused._sample_np)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -584,6 +637,7 @@ def _sample_packed_kernel(s: int, n_blocks: int, gate_l: int | None = None):
             _cat(pdf, "is_new", np.uint8).astype(bool),
             dist_in,
             s,
+            rev_seed=rev_seed,
         )
         if gate_l is not None:
             t_ids, t_tau = _pool_tau_np(src, dist_in, gate_l)
@@ -605,7 +659,10 @@ def _sample_packed_kernel(s: int, n_blocks: int, gate_l: int | None = None):
     return fn
 
 
-def _sample_packed_map(s: int, n_blocks: int, gate_l: int | None = None):
+def _sample_packed_map(
+    s: int, n_blocks: int, gate_l: int | None = None,
+    rev_seed: int | None = None,
+):
     """Stage 1 as a NARROW map: the pool invariant is one packed row per
     block (pack_pool at init, _merge_packed_kernel every round), so each
     Arrow batch already holds complete per-vertex pools — rows are
@@ -616,7 +673,7 @@ def _sample_packed_map(s: int, n_blocks: int, gate_l: int | None = None):
     follows pairs forward samples with reverse samples from OTHER
     blocks, so the sample->pairgen exchange stays the one semantically
     required pool-sized shuffle."""
-    fn = _sample_packed_kernel(s, n_blocks, gate_l)
+    fn = _sample_packed_kernel(s, n_blocks, gate_l, rev_seed)
 
     def it_fn(it):
         for pdf in it:
@@ -947,6 +1004,9 @@ def nn_descent_blocked(
     tau_engage_rate: float = TAU_ENGAGE_RATE,
     payload: str = "fp32",
     rev_push_gate: bool = False,
+    min_recall: float | None = None,
+    control_bc=None,
+    control_total: int = 0,
 ) -> tuple[DataFrame, list[dict]]:
     """Blocked superstep loop — same contract as nnd_fused.nn_descent_fused
     but with NO broadcast-matrix requirement. Returns (pool, metrics);
@@ -958,8 +1018,30 @@ def nn_descent_blocked(
     matrix edges the round-4 stage attribution measured as dominant,
     at the cost of ~2^-11-relative distance rounding (recall-gated in
     tests, A/B'd in BENCH.md). Default fp32 stays bit-identical to the
-    fused path."""
+    fused path.
+
+    The exact-distance contract for ``payload="int8"`` holds only via
+    the ``final_k`` re-rank below (the nn_descent front door always
+    sets it): without ``final_k`` the returned POOL carries quantized
+    distances, so direct callers get a warning.
+
+    ``min_recall`` + ``control_bc``/``control_total`` (prepared by
+    nn_descent) enable the reference's own convergence criterion:
+    sampled recall of the pool vs exact control truth, evaluated each
+    round (packed_pool_recall), stopping past the threshold
+    (src/index_graph.cpp:172-179). The update-rate stop stays active
+    alongside; pass min_update_rate=0 for pure reference semantics."""
     from kgraph_framework_spark.operators.knn_graph import random_init
+
+    if payload == "int8" and final_k is None:
+        import warnings
+
+        warnings.warn(
+            "payload='int8' without final_k returns QUANTIZED distances "
+            "(~0.4%-of-max rounding); the exact fp32 re-rank only runs "
+            "when final_k is set (as nn_descent does)",
+            stacklevel=2,
+        )
 
     row = emb.select(
         F.count(F.lit(1)).alias("n"), F.min(F.size("embedding")).alias("d")
@@ -1023,7 +1105,16 @@ def nn_descent_blocked(
         engage_tau = tau_filter and prev_rate < tau_engage_rate
         samples = (
             pool_p.mapInPandas(
-                _sample_packed_map(s, B, l if rev_push_gate else None),
+                # rev_seed == the pairgen reservoir seed below, so the
+                # sender-side pre-cut ranks exactly like the receiver.
+                # With the reverse-push gate ON the receiver gates
+                # arrivals BEFORE its reservoir, so a per-block ungated
+                # top-S is no longer a superset of the kept set — the
+                # pre-cut must stand down (exactness over bytes).
+                _sample_packed_map(
+                    s, B, l if rev_push_gate else None,
+                    rev_seed=None if rev_push_gate else seed + 3 * it + 2,
+                ),
                 SAMPLE_P_SCHEMA,
             )
             .persist()
@@ -1087,14 +1178,22 @@ def nn_descent_blocked(
         if n_edges_target is None:
             n_edges_target = int(agg["ne"] or 0)
         rate = fresh / max(n_edges_target, 1)
-        metrics.append(
-            {"superstep": it, "new_entries": fresh,
-             "update_rate": rate, "tau_engaged": engage_tau,
-             "wall_sec": round(time.monotonic() - t_round, 2)}
-        )
+        row_m = {"superstep": it, "new_entries": fresh,
+                 "update_rate": rate, "tau_engaged": engage_tau,
+                 "wall_sec": round(time.monotonic() - t_round, 2)}
         prev_rate = rate
         pool_p = new_pool.select("blk", "src", "dst", "dist", "is_new")
-        if rate < min_update_rate:
+        recall_stop = False
+        if min_recall is not None and control_bc is not None:
+            # timed separately — the reference's per-iter wall excludes
+            # eval_recall too (timmer e_descent precedes the eval)
+            t_ev = time.monotonic()
+            rec = packed_pool_recall(pool_p, control_bc, control_total)
+            row_m["recall"] = round(rec, 4)
+            row_m["recall_eval_sec"] = round(time.monotonic() - t_ev, 2)
+            recall_stop = rec >= min_recall
+        metrics.append(row_m)
+        if recall_stop or rate < min_update_rate:
             break
 
     if excl_bc is not None:

@@ -41,6 +41,7 @@ the skew bound.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -364,9 +365,11 @@ def _sample_kernel(
     parameterization S=10, L=70) this IS the descent gradient: joining
     the closest candidates' neighborhoods is what makes the graph
     descend; a hash-random S of a 70-pool (rounds 2-3 of this engine)
-    converges only when S is a large fraction of L. ``seed`` is kept for
-    signature stability; forward sampling no longer uses it (the reverse
-    reservoir in pairgen still does).
+    converges only when S is a large fraction of L. ``seed`` must be
+    the SAME reservoir seed the round's pairgen kernel uses
+    (seed + 3*it + 2): it drives the exact sender-side reverse pre-cut
+    (see _sample_np) whose per-block top-S order must match the
+    receiver-side reservoir's.
 
     With ``gate_l`` set, the kernel also emits one TAU_NBR sentinel row
     per vertex whose round-start pool is saturated (>= gate_l entries),
@@ -383,7 +386,13 @@ def _sample_kernel(
         dst = pdf["dst"].to_numpy(np.int64)
         isn_in = pdf["is_new"].to_numpy(bool)
         dist_in = pdf["dist"].to_numpy(np.float64)
-        key, nbr, isn, fwd, dist = _sample_np(src, dst, isn_in, dist_in, s)
+        # gate_l set == reverse-push gate on == pre-cut must stand down
+        # (the receiver gates before its reservoir; see the loop's
+        # call-site comment)
+        key, nbr, isn, fwd, dist = _sample_np(
+            src, dst, isn_in, dist_in, s,
+            rev_seed=None if gate_l is not None else seed,
+        )
         if gate_l is not None:
             t_ids, t_tau = _pool_tau_np(src, dist_in, gate_l)
             if t_ids.size:
@@ -409,6 +418,7 @@ def _sample_np(
     new: np.ndarray,
     dist: np.ndarray,
     s: int,
+    rev_seed: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Numpy core of the sample stage, shared with the packed blocked
     loop (operators/nnd_blocked): top-of-pool S per (vertex, flag),
@@ -418,7 +428,21 @@ def _sample_np(
     The emitted rows carry the edge distance so the pairgen site can
     apply the reference's reverse-push gate (a reverse arrival is only
     admitted when its distance exceeds the receiving vertex's pool
-    worst, src/index_graph.cpp:91-103 — see _canonical_pairs)."""
+    worst, src/index_graph.cpp:91-103 — see _canonical_pairs).
+
+    ``rev_seed`` (the pairgen round's reservoir seed) enables the
+    EXACT sender-side reverse pre-cut — the map-side combine of the
+    receiver's top-S-by-hash reservoir: within THIS sender block, any
+    reverse row ranked >= S per (receiver, flag) by the same
+    (hash(sender, rev_seed), sender) order the receiver uses can never
+    enter the receiver's global top-S (global top-S is a subset of the
+    union of per-sender-block top-S), so it is dropped before the
+    sample->pairgen shuffle. Provably output-identical (the reservoir
+    order is a strict total order — hash ties broken by sender id at
+    both sites); the cut only bites for receivers drawing more than S
+    reverse rows from ONE sender block, i.e. pool in-degree hubs
+    (see BENCH.md reverse pre-cut section for the measured local
+    effect)."""
     order = np.lexsort((dst, dist, new, src))
     src_s, dst_s, new_s, dist_s = (
         src[order], dst[order], new[order], dist[order]
@@ -429,11 +453,20 @@ def _sample_np(
         change[1:] = (src_s[1:] != src_s[:-1]) | (new_s[1:] != new_s[:-1])
     keep = _ranks(change) < s
     ks, kd, kn, kdist = src_s[keep], dst_s[keep], new_s[keep], dist_s[keep]
-    key = np.concatenate([ks, kd])
-    nbr = np.concatenate([kd, ks])
-    isn = np.concatenate([kn, kn])
-    fwd = np.concatenate([np.ones(ks.size, bool), np.zeros(ks.size, bool)])
-    return key, nbr, isn, fwd, np.concatenate([kdist, kdist])
+    rs, rd, rn, rdist = kd, ks, kn, kdist  # reverse rows: key=dst
+    if rev_seed is not None and rs.size:
+        hk = _hash_np(rd, rev_seed)
+        ro = np.lexsort((rd, hk, rn, rs))
+        rch = np.empty(ro.size, bool)
+        rch[0] = True
+        rch[1:] = (rs[ro][1:] != rs[ro][:-1]) | (rn[ro][1:] != rn[ro][:-1])
+        rkeep = np.sort(ro[_ranks(rch) < s])
+        rs, rd, rn, rdist = rs[rkeep], rd[rkeep], rn[rkeep], rdist[rkeep]
+    key = np.concatenate([ks, rs])
+    nbr = np.concatenate([kd, rd])
+    isn = np.concatenate([kn, rn])
+    fwd = np.concatenate([np.ones(ks.size, bool), np.zeros(rs.size, bool)])
+    return key, nbr, isn, fwd, np.concatenate([kdist, rdist])
 
 
 def _split_tau_and_gate(
@@ -486,12 +519,16 @@ def _canonical_pairs(
     reservoir cap, (vertex, nbr, flag) dedupe, per-vertex new/old lists,
     new x new (a<b) + new x old local join, block-level canonical dedupe
     and exclusion. Returns canonical (lo, hi) with lo < hi."""
-    # reverse reservoir cap at S per (vertex, flag) — J8
+    # reverse reservoir cap at S per (vertex, flag) — J8. The order is
+    # (hash(sender, seed), sender): a STRICT total order (hash ties
+    # broken by sender id), which makes the receiver-side cap exactly
+    # the union-of-sender-block-top-S that _sample_np's pre-cut
+    # computes map-side.
     ridx = np.flatnonzero(~fwd)
     kept_rev = np.empty(0, np.int64)
     if ridx.size:
         hk = _hash_np(nbr[ridx], seed)
-        ro = np.lexsort((hk, new[ridx], key[ridx]))
+        ro = np.lexsort((nbr[ridx], hk, new[ridx], key[ridx]))
         rs = ridx[ro]
         change = np.empty(rs.size, bool)
         change[0] = True
@@ -499,6 +536,14 @@ def _canonical_pairs(
             new[rs][1:] != new[rs][:-1]
         )
         kept_rev = rs[_ranks(change) < s]
+        stats_dir = os.environ.get("SPARK_GRAFT_REV_STATS")
+        if stats_dir:
+            # diagnostic only (reverse pre-cut sizing, BENCH.md): how
+            # many reverse arrivals the receiver-side cap discards
+            with open(
+                f"{stats_dir}/rev_{os.getpid()}.txt", "a"
+            ) as fh:
+                fh.write(f"{ridx.size} {kept_rev.size}\n")
     kept = np.concatenate([np.flatnonzero(fwd), kept_rev])
     k2, n2, new2 = key[kept], nbr[kept], new[kept]
 
@@ -746,6 +791,9 @@ def nn_descent_fused(
     exclude_pairs: DataFrame | None = None,
     n_blocks: int | None = None,
     rev_push_gate: bool = False,
+    min_recall: float | None = None,
+    control_df: DataFrame | None = None,
+    control_total: int = 0,
 ) -> tuple[DataFrame, list[dict]]:
     """Fused superstep loop. ``bc`` is a knn_graph.broadcast_matrix handle
     (required — callers fall back to the join path without one). Returns
@@ -754,7 +802,13 @@ def nn_descent_fused(
     ``rev_push_gate`` (reference parity; default OFF per the measured
     A/B in BENCH.md — see knn_graph.nn_descent's docstring) admits a
     reverse sample only when its distance exceeds the receiver's
-    round-start pool worst — see _split_tau_and_gate."""
+    round-start pool worst — see _split_tau_and_gate.
+
+    ``min_recall`` + ``control_df``/``control_total`` (prepared by
+    nn_descent) enable the reference's sampled-recall stop criterion
+    (src/index_graph.cpp:172-179): pool membership of exact control
+    truth, a broadcast semi-join per round here. The update-rate stop
+    stays active alongside."""
     from kgraph_framework_spark.operators.knn_graph import (
         _score_pairs,
         random_init,
@@ -786,8 +840,15 @@ def nn_descent_fused(
             "is_new",
         )
         samples = pool_b.groupBy("blk").applyInPandas(
+            # sample seed == this round's pairgen reservoir seed, so the
+            # sender-side reverse pre-cut ranks exactly like the
+            # receiver-side reservoir (see _sample_np). With the
+            # reverse-push gate ON the receiver gates arrivals BEFORE
+            # its reservoir, so the per-block ungated top-S is no
+            # longer a superset of the kept set — pre-cut stands down.
             _sample_kernel(
-                s, seed + 3 * it + 1, B, l if rev_push_gate else None
+                s, seed + 3 * it + 2, B,
+                l if rev_push_gate else None,
             ),
             SAMPLE_SCHEMA,
         )
@@ -809,13 +870,24 @@ def nn_descent_fused(
         if n_edges_target is None:
             n_edges_target = new_pool.count()
         rate = fresh / max(n_edges_target, 1)
-        metrics.append(
-            {"superstep": it, "new_entries": int(fresh),
-             "update_rate": rate,
-             "wall_sec": round(time.monotonic() - t_round, 2)}
-        )
+        row_m = {"superstep": it, "new_entries": int(fresh),
+                 "update_rate": rate,
+                 "wall_sec": round(time.monotonic() - t_round, 2)}
         pool = new_pool.select("src", "dst", "dist", "is_new")
-        if rate < min_update_rate:
+        recall_stop = False
+        if min_recall is not None and control_df is not None:
+            # timed separately, mirroring the reference's protocol (its
+            # per-iter wall excludes eval_recall)
+            t_ev = time.monotonic()
+            hits = pool.join(
+                F.broadcast(control_df), ["src", "dst"], "left_semi"
+            ).count()
+            rec = hits / max(control_total, 1)
+            row_m["recall"] = round(rec, 4)
+            row_m["recall_eval_sec"] = round(time.monotonic() - t_ev, 2)
+            recall_stop = rec >= min_recall
+        metrics.append(row_m)
+        if recall_stop or rate < min_update_rate:
             break
 
     if excl_bc is not None:

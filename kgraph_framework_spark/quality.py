@@ -128,6 +128,49 @@ def nndescent_gate(
     )
 
 
+def nndescent_minrecall_gate(
+    spark: SparkSession, emb: DataFrame, k: int = 10, max_iters: int = 12
+) -> DataFrame:
+    """Convergence-criterion parity gate: the descent runs under the
+    reference's OWN stop rule — sampled pool recall vs exact control
+    truth, stop past 0.99 (src/index_graph.cpp:172-179 + eval_recall
+    :209-229) — instead of a fixed round count
+    (nn_descent(min_recall=0.99), the update-rate stop disabled).
+    recall_ok = 1 only if BOTH hold: the final graph clears the recall
+    floor AND the loop actually STOPPED on the criterion (fewer than
+    max_iters rounds with the last recorded pool recall >= 0.99) — a
+    loop that merely exhausts its iteration budget fails the gate."""
+    from kgraph_framework_spark.operators.knn_graph import (
+        knn_bruteforce_l2,
+        nn_descent,
+    )
+
+    graph, metrics = nn_descent(
+        spark, emb, k=k, max_iters=max_iters, min_recall=0.99,
+        min_update_rate=0.0,
+    )
+    stopped = (
+        len(metrics) < max_iters
+        and metrics[-1].get("recall", 0.0) >= 0.99
+    )
+    truth = knn_bruteforce_l2(emb, k=k)
+    row = _gate_row(
+        graph.select("src", "dst"),
+        truth,
+        ["src", "dst"],
+        "minrecall+nndescent",
+        F.countDistinct("src"),
+        k,
+        NNDESCENT_FLOOR_PPM,
+    )
+    return row.select(
+        "algo", "n_queries", "k", "floor_ppm",
+        (F.col("recall_ok") * F.lit(1 if stopped else 0))
+        .cast("long")
+        .alias("recall_ok"),
+    )
+
+
 def nndescent_blocked_gate(
     spark: SparkSession, emb: DataFrame, k: int = 10, max_iters: int = 4
 ) -> DataFrame:
@@ -333,6 +376,15 @@ def ivf_gate_sql(k: int = 5, n_queries: int = 8) -> str:
 
 def nndescent_gate_sql(k: int = 10) -> str:
     return f"""SELECT 'nndescent' AS algo,
+  CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST({k} AS BIGINT) AS k,
+  CAST({NNDESCENT_FLOOR_PPM} AS BIGINT) AS floor_ppm,
+  CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings"""
+
+
+def nndescent_minrecall_gate_sql(k: int = 10) -> str:
+    return f"""SELECT 'minrecall+nndescent' AS algo,
   CAST(COUNT(*) AS BIGINT) AS n_queries,
   CAST({k} AS BIGINT) AS k,
   CAST({NNDESCENT_FLOOR_PPM} AS BIGINT) AS floor_ppm,

@@ -158,6 +158,17 @@ def q_knn_graph(spark, sf_dir):
     return nndescent_gate(spark, emb, k=10, max_iters=4)
 
 
+def q_knn_graph_minrecall(spark, sf_dir):
+    """Reference convergence-criterion parity: the descent stops on the
+    reference's own sampled-recall>0.99 rule (min_recall), not a fixed
+    round count; the gate row fails unless the loop actually stopped on
+    the criterion AND the graph clears the recall floor."""
+    from kgraph_framework_spark.quality import nndescent_minrecall_gate
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return nndescent_minrecall_gate(spark, emb, k=10)
+
+
 def q_knn_graph_blocked(spark, sf_dir):
     """Beyond-broadcast descent gate: matrix sharded into cogrouped
     blocks (the 100-TB shape), forced at small N; bit-identical to the
@@ -334,6 +345,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # approximate + iterative: recall-vs-truth gate row (quality.py) —
     # hash-compared, so the driver certifies ANN quality
     "knn_graph_nndescent": (q_knn_graph, _quality.nndescent_gate_sql()),
+    # reference convergence-criterion parity: stop on sampled pool
+    # recall > 0.99 (src/index_graph.cpp:172-179) instead of a fixed
+    # round count; fails unless the loop stopped ON the criterion
+    "knn_graph_nnd_minrecall": (
+        q_knn_graph_minrecall,
+        _quality.nndescent_minrecall_gate_sql(),
+    ),
     # the SAME descent with the matrix sharded into cogrouped blocks —
     # the beyond-broadcast 100-TB path, forced at small N
     "knn_graph_nnd_blocked": (

@@ -125,3 +125,49 @@ class TestNNDescent:
         degs = graph.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
         assert degs.where(F.col("c") > K).count() == 0
         assert graph.where(F.col("src") == F.col("dst")).count() == 0
+
+
+class TestMinRecallConvergence:
+    """The reference's OWN stop criterion: sampled pool recall vs exact
+    control truth, stop past a threshold (src/index_graph.cpp:172-179,
+    eval_recall :209-229) — nn_descent(min_recall=...)."""
+
+    def test_control_truth_matches_oracle(self, spark, emb, truth):
+        from kgraph_framework_spark.operators.knn_graph import control_truth
+
+        ct = control_truth(spark, emb, K).persist()
+        ctrl_ids = {r["src"] for r in ct.select("src").distinct().collect()}
+        assert len(ctrl_ids) >= 50  # ~n_control stride-sampled points
+        exp = {
+            (r["src"], r["dst"])
+            for r in truth.collect()
+            if r["src"] in ctrl_ids
+        }
+        got = {(r["src"], r["dst"]) for r in ct.collect()}
+        # different (mathematically equal) float64 expansions may flip
+        # ties at the k boundary; demand near-exact agreement
+        assert len(got & exp) / max(len(exp), 1) >= 0.99
+        ct.unpersist()
+
+    def test_recall_stop_fused(self, spark, emb):
+        graph, metrics = nn_descent(
+            spark, emb, k=K, max_iters=8, min_recall=0.3
+        )
+        assert "recall" in metrics[-1] and "recall_eval_sec" in metrics[-1]
+        assert metrics[-1]["recall"] >= 0.3
+        assert len(metrics) < 8, "should stop on recall, not iter count"
+        # earlier rounds below the threshold must NOT have stopped
+        for m in metrics[:-1]:
+            assert m["recall"] < 0.3
+
+    def test_blocked_recall_equals_fused(self, spark, emb):
+        """packed_pool_recall (blocked) and the broadcast semi-join
+        (fused) must read the SAME recall off the bit-identical pools."""
+        out = {}
+        for mode in ("fused", "blocked"):
+            _, m = nn_descent(
+                spark, emb, k=K, max_iters=2, min_recall=1.01, mode=mode
+            )
+            out[mode] = [r["recall"] for r in m]
+        assert len(out["fused"]) == 2
+        assert out["fused"] == out["blocked"]

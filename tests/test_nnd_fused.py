@@ -184,6 +184,58 @@ class TestRevPushGate:
             m["new_entries"] for m in mb
         ]
 
+    def test_precut_exact_vs_receiver_reservoir(self):
+        """The sender-side reverse pre-cut (map-side combine of the
+        receiver's top-S-by-hash reservoir) must leave the canonical
+        pair output EXACTLY unchanged — global top-S is a subset of the
+        union of per-sender-block top-S — while actually dropping rows
+        for pool in-degree hubs."""
+        from kgraph_framework_spark.operators.nnd_fused import (
+            _canonical_pairs,
+            _sample_np,
+        )
+
+        rng = np.random.default_rng(7)
+        s, seed = 3, 1234
+        # two sender blocks; every vertex's closest pool entry is hub
+        # 999, so the hub draws 20 reverse rows per block (>> s)
+        def block(lo_id):
+            src = np.repeat(
+                np.arange(lo_id, lo_id + 20, dtype=np.int64), 5
+            )
+            dst = rng.integers(100, 200, size=src.size).astype(np.int64)
+            dist = rng.random(src.size) + 0.1
+            new = rng.random(src.size) < 0.5
+            dst[::5] = 999
+            dist[::5] = 0.0
+            return src, dst, new, dist
+
+        blocks = [block(0), block(1000)]
+        outs = {}
+        for rev_seed in (None, seed):
+            parts = [
+                _sample_np(*b, s, rev_seed=rev_seed) for b in blocks
+            ]
+            outs[rev_seed] = tuple(
+                np.concatenate([p[i] for p in parts]) for i in range(5)
+            )
+        # the pre-cut must bite on the hub's reverse fan-in
+        assert outs[seed][0].size < outs[None][0].size
+        # forward rows untouched
+        for i in range(5):
+            assert np.array_equal(
+                outs[seed][i][outs[seed][3].astype(bool)],
+                outs[None][i][outs[None][3].astype(bool)],
+            )
+        # receiver-side reservoir -> identical canonical pairs
+        pairs = {
+            rs: _canonical_pairs(o[0], o[1], o[2], o[3], s, seed, None)
+            for rs, o in outs.items()
+        }
+        assert pairs[None][0].tolist() == pairs[seed][0].tolist()
+        assert pairs[None][1].tolist() == pairs[seed][1].tolist()
+        assert pairs[None][0].size > 0
+
     def test_gate_reaches_floor_and_shrinks_updates(self, spark, emb):
         """Gated descent holds the recall floor; once pools saturate the
         gate admits strictly fewer reverse arrivals, so the per-round

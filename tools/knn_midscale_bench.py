@@ -195,6 +195,20 @@ def main() -> None:
         "worst) — default off per the measured A/B in BENCH.md",
     )
     ap.add_argument(
+        "--block-bytes", type=int, default=None,
+        help="EMB_BLOCK_BYTES override for the blocked loop (per-task "
+        "memory vs gather-duplication knob; the high-dim scratch-disk "
+        "lever — BENCH.md high-dim section)",
+    )
+    ap.add_argument(
+        "--min-recall", type=float, default=None,
+        help="stop the descent on the reference's own convergence "
+        "criterion — sampled pool recall vs exact control truth "
+        "(src/index_graph.cpp:172-179 stops at 0.99); the control "
+        "truth is computed BEFORE the build timer, as the reference "
+        "loads its ground-truth file outside the timed build",
+    )
+    ap.add_argument(
         "--structure", choices=("flat", "hier"), default="flat",
         help="synthetic corpus geometry: 'hier' = SIFT-like multi-scale "
         "clusters + low-effective-dim noise (use for reference-"
@@ -217,6 +231,13 @@ def main() -> None:
     emb = gen(spark, n_vecs, cores * 2, dim=args.dim).persist()
     emb.count()
 
+    ctrl = None
+    if args.min_recall is not None:
+        from kgraph_framework_spark.operators.knn_graph import control_truth
+
+        ctrl = control_truth(spark, emb, k).persist()
+        ctrl.count()  # materialized before the timer starts
+
     t0 = time.monotonic()
     init = (
         lsh_init(emb, k=k, n_tables=4, max_bucket=128, n=n_vecs)
@@ -227,6 +248,8 @@ def main() -> None:
         spark, emb, k=k, l=args.l, s=args.s, max_iters=iters, init=init,
         mode=args.mode, payload=args.payload,
         rev_push_gate=args.rev_gate,
+        min_recall=args.min_recall, control=ctrl,
+        block_bytes=args.block_bytes,
     )
     graph = graph.persist()
     n_edges = graph.count()
@@ -245,6 +268,8 @@ def main() -> None:
         "mode": args.mode,
         "payload": args.payload,
         "rev_push_gate": args.rev_gate,
+        "min_recall": args.min_recall,
+        "block_bytes": args.block_bytes,
         "structure": args.structure,
         "init": args.init,
         "l": args.l,
