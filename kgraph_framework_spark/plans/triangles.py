@@ -63,9 +63,9 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def _triangle_rows(edges: DataFrame) -> DataFrame:
+def _triangle_rows(edges: DataFrame, oriented: DataFrame | None = None) -> DataFrame:
     """One row (a, b, c) per triangle (in oriented order)."""
-    o = _oriented(edges).persist()
+    o = oriented if oriented is not None else _oriented(edges).persist()
     e1 = o.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
     e2 = o.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
     e3 = o.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
@@ -290,12 +290,17 @@ def _credit_kernel():
     return fn
 
 
-def _csr_credits(edges: DataFrame, n_parts: int | None = None) -> DataFrame:
+def _csr_credits(
+    edges: DataFrame,
+    n_parts: int | None = None,
+    oriented: DataFrame | None = None,
+) -> DataFrame:
     """Per-vertex triangle credits via the CSR two-stage cogroup gather."""
     from kgraph_framework_spark.operators.csr import part_col
 
     spark = edges.sparkSession
-    o = _oriented(edges).persist()  # feeds both the CSR pack and the stream
+    # feeds both the CSR pack and the stream
+    o = oriented if oriented is not None else _oriented(edges).persist()
     if n_parts is None:
         # data-sized block count (operators/csr.auto_n_parts) — bounds
         # per-block arrays at any corpus size
@@ -316,26 +321,75 @@ def _csr_credits(edges: DataFrame, n_parts: int | None = None) -> DataFrame:
     )
 
 
+#: auto-engine crossover: oriented wedge rows per edge. Below it the
+#: plain wedge join wins — measured at 25.1M transcript edges
+#: (W/E = 2.31): wedge 25.5/29.2 s vs CSR 42.1/49.5 s vs arrays
+#: 89.6/94.1 s, interleaved fresh-JVM pairs, identical counts
+#: (tools/triangles_engine_ab.py; BENCH.md round-5 section). Chain-ish
+#: graphs orient to tiny out-degrees, so the wedge table is ~2 rows/
+#: edge of 24 B — two narrow hash joins beat the packed-CSR machinery,
+#: the same lesson as the CC-over-CSC A/B (cheap kernels don't repay
+#: packing). Above the cap the wedge table (Σ C(outdeg, 2) rows, up to
+#: 10^3+ per edge on clustered/power-law graphs) dominates shuffle
+#: volume while the CSR gather ships each adjacency list once per
+#: cell — structural bound, one-sided calibration acknowledged.
+WEDGE_MAX_PER_EDGE = 8.0
+
+
+def _auto_engine(oriented: DataFrame) -> str:
+    """Cost-based engine pick: one aggregation computes the oriented
+    wedge count W = Σ C(outdeg, 2) and the edge count; wedge join when
+    W/E <= WEDGE_MAX_PER_EDGE, CSR cogroup gather otherwise."""
+    row = (
+        oriented.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"),
+            F.sum("d").alias("e"),
+        )
+        .first()
+    )
+    w, e = float(row["w"] or 0.0), float(row["e"] or 0.0)
+    return "wedge" if w <= WEDGE_MAX_PER_EDGE * max(e, 1.0) else "csr"
+
+
 def count_triangles(
-    edges: DataFrame, engine: str = "csr", n_parts: int | None = None
+    edges: DataFrame, engine: str = "auto", n_parts: int | None = None
 ) -> int:
     """Exact global triangle count.
+
+    ``engine="auto"`` (default) measures the oriented wedge count W =
+    Σ C(outdeg, 2) with one aggregation over the (persisted, reused)
+    oriented graph and picks the wedge join when W/E <=
+    WEDGE_MAX_PER_EDGE (the measured-cheap regime), the CSR cogroup
+    gather otherwise. All engines produce identical counts
+    (test-asserted; 25M-edge A/B in BENCH.md).
 
     CSR engine: every triangle contributes exactly 3 credits (|C| to
     each endpoint of its closing edge, 1 to the common neighbor), so the
     count is sum(credits) / 3 — exact integer division by construction.
     """
-    if engine == "csr":
-        row = _csr_credits(edges, n_parts).agg(
-            F.coalesce(F.sum("t"), F.lit(0)).alias("t")
-        ).first()
-        return int(row["t"]) // 3
-    row = (
-        _edge_commons(edges)
-        .agg(F.coalesce(F.sum(F.size("cs")), F.lit(0)).alias("t"))
-        .first()
-    )
-    return int(row["t"])
+    oriented = None
+    if engine == "auto":
+        oriented = _oriented(edges).persist()
+        engine = _auto_engine(oriented)
+    try:
+        if engine == "wedge":
+            return _triangle_rows(edges, oriented=oriented).count()
+        if engine == "csr":
+            row = _csr_credits(edges, n_parts, oriented=oriented).agg(
+                F.coalesce(F.sum("t"), F.lit(0)).alias("t")
+            ).first()
+            return int(row["t"]) // 3
+        row = (
+            _edge_commons(edges)
+            .agg(F.coalesce(F.sum(F.size("cs")), F.lit(0)).alias("t"))
+            .first()
+        )
+        return int(row["t"])
+    finally:
+        if oriented is not None:
+            oriented.unpersist()
 
 
 def count_triangles_wedge(edges: DataFrame) -> int:

@@ -228,6 +228,37 @@ class TestTriangles:
         noisy = TRI_EDGES + [(2, 1, 1.0), (1, 2, 5.0), (3, 3, 1.0)]
         assert count_triangles(edges_df(spark, noisy)) == 2
 
+    def test_auto_engine_pick_and_agreement(self, spark):
+        """engine='auto' picks the wedge join on sparse-wedge graphs
+        (the measured-cheap regime, W/E <= WEDGE_MAX_PER_EDGE) and the
+        CSR gather on wedge-dense ones; both agree with the explicit
+        engines on counts."""
+        from kgraph_framework_spark.plans.triangles import (
+            WEDGE_MAX_PER_EDGE,
+            _auto_engine,
+            _oriented,
+            count_triangles_wedge,
+        )
+
+        # path graph: oriented out-degrees ~1 -> W/E ~ 0 -> wedge
+        path = [(i, i + 1, 1.0) for i in range(50)]
+        o = _oriented(edges_df(spark, path))
+        assert _auto_engine(o) == "wedge"
+        assert count_triangles(edges_df(spark, path)) == 0
+
+        # K30 clique: W/E = C(30,3)/C(30,2) = 9.33 > cap -> csr
+        k30 = [
+            (a, b, 1.0) for a in range(30) for b in range(a + 1, 30)
+        ]
+        e = edges_df(spark, k30)
+        o30 = _oriented(e)
+        assert _auto_engine(o30) == "csr"
+        assert WEDGE_MAX_PER_EDGE < (4060 / 435)
+        got_auto = count_triangles(e)  # default engine="auto"
+        assert got_auto == 4060  # C(30, 3)
+        assert got_auto == count_triangles(e, engine="csr")
+        assert got_auto == count_triangles_wedge(e)
+
     def test_intersection_equals_wedge_path(self, spark):
         """The sorted-adjacency Arrow-intersection default must agree
         with the wedge-join formulation exactly."""
