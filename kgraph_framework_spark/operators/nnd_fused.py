@@ -443,6 +443,8 @@ def _sample_np(
     reverse rows from ONE sender block, i.e. pool in-degree hubs
     (see BENCH.md reverse pre-cut section for the measured local
     effect)."""
+    if rev_seed is not None and os.environ.get("SPARK_GRAFT_NO_REV_PRECUT"):
+        rev_seed = None  # diagnostic A/B toggle (outputs are invariant)
     order = np.lexsort((dst, dist, new, src))
     src_s, dst_s, new_s, dist_s = (
         src[order], dst[order], new[order], dist[order]
@@ -461,6 +463,11 @@ def _sample_np(
         rch[0] = True
         rch[1:] = (rs[ro][1:] != rs[ro][:-1]) | (rn[ro][1:] != rn[ro][:-1])
         rkeep = np.sort(ro[_ranks(rch) < s])
+        stats_dir = os.environ.get("SPARK_GRAFT_REV_STATS")
+        if stats_dir:
+            # diagnostic only: reverse rows emitted vs pre-cut away
+            with open(f"{stats_dir}/snd_{os.getpid()}.txt", "a") as fh:
+                fh.write(f"{rs.size} {rkeep.size}\n")
         rs, rd, rn, rdist = rs[rkeep], rd[rkeep], rn[rkeep], rdist[rkeep]
     key = np.concatenate([ks, rs])
     nbr = np.concatenate([kd, rd])
