@@ -129,20 +129,38 @@ def l2_gathered(
 POOL_ROWS_PER_BLOCK = 2_000_000
 
 
+#: pool rows (N x L) below which the 4x floor reverts to a plain
+#: core-count floor: with tiny pools the per-group fixed cost of 4x
+#: more applyInPandas groups outweighs the hash-collision fix.
+#: Measured both sides (tools/fused_floor_ab.py, 2x2 interleaved
+#: fresh-JVM pairs, identical checksums): at 50k x l=30 (1.5M pool
+#: rows) B=128 wins both pairs (13.0/13.3 vs 16.0/16.0 s rounds-wall);
+#: at 20k x l=30 (0.6M rows) B=32 wins both (9.1/8.3 vs 9.5/10.7 s).
+#: Crossover set at the ~geometric midpoint.
+FLOOR4_MIN_POOL_ROWS = 1_000_000
+
+
 def auto_n_blocks(default_parallelism: int, n_vecs: int, l: int) -> int:
     """Block count for the fused/blocked kernels: enough blocks that
     each holds ~POOL_ROWS_PER_BLOCK pool rows, never fewer than 4x the
-    core count. The 4x floor is a hash-collision fix, not extra
-    parallelism per se: B distinct blk keys hash into the shuffle's P
-    partitions, and with B ~ P a large fraction of partitions receive
-    zero keys (E[non-empty] = P(1-(1-1/P)^B) — e.g. 32 keys into 64
-    partitions leave ~25 busy tasks on 32 cores, measured as a
-    21-task merge stage). At 4x the keys the reduce side fills and the
-    per-key load evens out. Measured (BENCH.md n_blocks A/B, 500k x
-    128-d, both interleaved pairs): rounds-wall 162/209 + 150/241 s at
-    B=32 vs 136/155 + 95/99 s at B=128 — up to 1.6x."""
+    core count (plain core count below FLOOR4_MIN_POOL_ROWS — see the
+    measured crossover above). The 4x floor is a hash-collision fix,
+    not extra parallelism per se: B distinct blk keys hash into the
+    shuffle's P partitions, and with B ~ P a large fraction of
+    partitions receive zero keys (E[non-empty] = P(1-(1-1/P)^B) — e.g.
+    32 keys into 64 partitions leave ~25 busy tasks on 32 cores,
+    measured as a 21-task merge stage). At 4x the keys the reduce side
+    fills and the per-key load evens out. Measured (BENCH.md n_blocks
+    A/B, 500k x 128-d, both interleaved pairs): rounds-wall 162/209 +
+    150/241 s at B=32 vs 136/155 + 95/99 s at B=128 — up to 1.6x; the
+    same direction on the FUSED path at 50k (fused_floor_ab)."""
     need = -(-(n_vecs * l) // POOL_ROWS_PER_BLOCK)  # ceil div
-    return int(max(4 * default_parallelism, need))
+    floor = (
+        4 * default_parallelism
+        if n_vecs * l >= FLOOR4_MIN_POOL_ROWS
+        else default_parallelism
+    )
+    return int(max(floor, need))
 
 
 def _hash_np(first, *rest):

@@ -192,10 +192,14 @@ class TestAutoNBlocks:
     def test_grows_with_corpus_not_cores(self):
         """VERDICT r3 'what's wrong #2': block count must scale with
         N*L, or one applyInPandas group holds ~N*L/cores rows."""
-        # small: 4x core count (hash-collision floor — B keys into P
-        # partitions need B >> P to fill the reduce side; BENCH.md
-        # n_blocks A/B)
-        assert auto_n_blocks(32, 2_000, 30) == 128
+        # tiny pools (< FLOOR4_MIN_POOL_ROWS): plain core-count floor —
+        # the 4x collision fix loses to per-group overhead there
+        # (fused_floor_ab 20k measurement)
+        assert auto_n_blocks(32, 2_000, 30) == 32
+        # at/above the measured crossover: 4x core count
+        # (hash-collision floor — B keys into P partitions need B >> P
+        # to fill the reduce side; BENCH.md n_blocks A/Bs)
+        assert auto_n_blocks(32, 50_000, 30) == 128
         assert auto_n_blocks(32, 10**9, 30) == 15_000  # ceil(3e10/2e6)
         assert auto_n_blocks(8, 10**6, 70) == 35
 
